@@ -1,0 +1,145 @@
+"""Pure-Column (JVM-side) curve-key expressions — the hot path.
+
+The 2D Morton interleave is expressible entirely with built-in bitwise
+Column functions, so encoding a zkey for 10^12 rows never leaves
+whole-stage codegen: no Python, no Arrow transfer, vectorized Parquet in,
+codegen'd expressions through.  These mirror the numpy kernels in
+``curvekey.py`` bit-for-bit (property-tested against each other), which
+in turn mirror the reference layout (bitkey.c:76-97: x on even bits, y on
+odd bits; bitkey.c:386-417 for the 3D triples).
+
+Use these in every DataFrame plan; the pandas UDFs in ``udfs.py`` exist
+only for ops a Column expression can't reach (Hilbert rotation state
+machine, polygon refinement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SPREAD2_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+_SPREAD3_STEPS = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def spread2_col(v) -> Column:
+    """Bit-spread a <2^31 integer column: bit i -> bit 2i (JVM-side)."""
+    v = _as_col(v).cast("long")
+    for shift, mask in _SPREAD2_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zkey2_col(x, y) -> Column:
+    """2D Morton key Column; layout of bitkey.c:76-97 (x even, y odd bits).
+
+    Inputs must be non-negative and < 2^31 per dim; output < 2^62, a
+    sort-safe non-negative LongType.
+    """
+    return spread2_col(x).bitwiseOR(F.shiftleft(spread2_col(y), 1)).alias("zkey")
+
+
+def compact2_col(v) -> Column:
+    """Inverse spread: gather even bits of a long column (decode helper)."""
+    v = _as_col(v).cast("long").bitwiseAND(F.lit(0x5555555555555555))
+    steps = (
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    )
+    for shift, mask in steps:
+        v = (v.bitwiseOR(F.shiftrightunsigned(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def unzkey2_x_col(k) -> Column:
+    return compact2_col(_as_col(k))
+
+
+def unzkey2_y_col(k) -> Column:
+    return compact2_col(F.shiftrightunsigned(_as_col(k).cast("long"), 1))
+
+
+def spread3_col(v) -> Column:
+    """Bit-spread a <2^21 integer column: bit i -> bit 3i (JVM-side)."""
+    v = _as_col(v).cast("long").bitwiseAND(F.lit(0x1FFFFF))
+    for shift, mask in _SPREAD3_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zkey3_col(x, y, z) -> Column:
+    """3D Morton key Column for coords < 2^21 (63-bit key; bitkey.c:386-417
+    layout: bit 3i=z, 3i+1=y, 3i+2=x)."""
+    return (
+        F.shiftleft(spread3_col(x), 2)
+        .bitwiseOR(F.shiftleft(spread3_col(y), 1))
+        .bitwiseOR(spread3_col(z))
+        .alias("zkey3")
+    )
+
+
+def tile_id_col(zkey, level: int, bits: int = 30) -> Column:
+    """H3/S2-style cell id = Z-key prefix at `level` (2*level bits kept).
+
+    A tile is exactly a *solid* curve interval (SURVEY.md §2.7): all keys
+    with this prefix lie in the tile's square.  Pure prefix arithmetic —
+    no recompute from coords.
+    """
+    if not 0 <= level <= bits:
+        raise ValueError(f"level must be in [0, {bits}]")
+    return F.shiftrightunsigned(_as_col(zkey).cast("long"), 2 * (bits - level))
+
+
+def tile_bounds(tile: int, level: int, bits: int = 30) -> tuple[int, int]:
+    """[lo, hi] zkey interval covered by a tile id (driver-side ints)."""
+    shift = 2 * (bits - level)
+    lo = tile << shift
+    return lo, lo | ((1 << shift) - 1)
+
+
+def quantize_lon_col(lon, bits: int = 30) -> Column:
+    """Map lon [-180,180) to [0, 2^bits) — matches curvekey.quantize_lon."""
+    n = float(1 << bits)
+    q = F.floor((_as_col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+
+
+def quantize_lat_col(lat, bits: int = 30) -> Column:
+    n = float(1 << bits)
+    q = F.floor((_as_col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(n))
+    return F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+
+
+def interval_filter(zkey, intervals) -> Column:
+    """OR-of-BETWEEN predicate over decomposed curve intervals.
+
+    Pushes down to Parquet row-group min-max pruning on a zkey-sorted
+    layout — the Spark analog of the reference's B-tree descent
+    (sp_tree.c:266-354).  `intervals` is a list of (lo, hi[, solid]).
+    """
+    k = _as_col(zkey)
+    pred = F.lit(False)
+    for iv in intervals:
+        lo, hi = (iv.lo, iv.hi) if hasattr(iv, "lo") else (iv[0], iv[1])
+        pred = pred | k.between(F.lit(int(lo)), F.lit(int(hi)))
+    return pred

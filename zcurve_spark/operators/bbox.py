@@ -1,0 +1,203 @@
+"""Exact bounding-box range lookup — the reference's flagship operator.
+
+Re-expression of ``zcurve_2d_lookup`` / ``zcurve_3d_lookup``
+(zcurve.c:264-493) in Spark terms:
+
+    reference                         here
+    ---------                         ----
+    encode box corners                driver-side decompose_box()
+    lazy LITMAX/BIGMIN splitting      budgeted decomposition (numpy-free,
+      driven by B-tree pages            pure ints; laziness = budget)
+    B-tree descent + page walk        OR-of-BETWEEN on zkey -> Parquet
+                                        row-group / file min-max pruning
+    per-key `between` refinement      per-dim Column predicate (codegen)
+    TID mergesort (list_sort.c)       orderBy(row_id) only where parity
+                                        demands it (lookup vs *_tidonly)
+
+Box semantics are **closed on both ends** (bitkey.c:52-55; the
+reference's own oracle `x >= X and x <= X+1000`, gentest.awk:6).
+
+Two candidate-pruning strategies, picked by interval count:
+
+* ``predicate`` — OR-chain of BETWEENs on the zkey column.  Pushes into
+  the Parquet scan (PushedFilters), prunes row groups on a zkey-sorted
+  layout.  Best for one box / few intervals.
+* ``join`` — broadcast the interval relation and range-join.  Best for
+  box *batches* (the gentest.awk workload: 10^5 boxes at once) where an
+  OR-chain would explode; one scan serves all boxes, AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import interval_filter
+from ..plans.decompose import Interval, coalesce_intervals, decompose_box
+
+
+def box_refine_predicate(cols: list[str], mins, maxs) -> Column:
+    """Exact per-dimension closed-box predicate (bitkey.c:35-59 semantics)."""
+    pred = F.lit(True)
+    for c, lo, hi in zip(cols, mins, maxs):
+        pred = pred & F.col(c).between(int(lo), int(hi))
+    return pred
+
+
+def bbox_lookup(
+    points: DataFrame,
+    mins,
+    maxs,
+    *,
+    zkey_col: str = "zkey",
+    coord_cols: tuple[str, ...] = ("x", "y"),
+    id_col: str = "pid",
+    bits: int = 30,
+    budget: int = 128,
+    max_predicates: int = 24,
+    sort_by_id: bool = True,
+) -> DataFrame:
+    """Rows of `points` inside the closed box [mins, maxs].
+
+    Parity with zcurve_2d/3d_lookup: returns (id, *coords); sorted by id
+    when sort_by_id (zcurve.c:331-333's TID sort), else natural order
+    (the *_tidonly variants, zcurve.c:186-262).
+
+    The decomposition is coalesced to <= max_predicates BETWEEN terms:
+    long OR-chains stall Catalyst's optimizer, and refinement keeps any
+    coalescing exact (SURVEY.md §2.3 — budget-independent correctness).
+    """
+    intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
+    intervals = coalesce_intervals(intervals, max_intervals=max_predicates)
+    if not intervals:
+        return points.select(id_col, *coord_cols).limit(0)
+    cand = points.filter(interval_filter(zkey_col, intervals))
+    hits = cand.filter(box_refine_predicate(list(coord_cols), mins, maxs))
+    out = hits.select(id_col, *coord_cols)
+    return out.orderBy(id_col) if sort_by_id else out
+
+
+def intervals_df(spark, boxes, bits: int = 30, budget: int = 64) -> DataFrame:
+    """Decompose a batch of boxes into one interval relation.
+
+    `boxes` is a list of dicts with keys qid, mins, maxs.  Output schema:
+    (qid, lo, hi, solid) — small (<= budget * n_boxes rows), meant to be
+    broadcast.
+    """
+    rows = []
+    for b in boxes:
+        for iv in decompose_box(tuple(b["mins"]), tuple(b["maxs"]), bits=bits, budget=budget):
+            rows.append((int(b["qid"]), iv.lo, iv.hi, iv.solid))
+    return spark.createDataFrame(rows, "qid long, lo long, hi long, solid boolean")
+
+
+def bucketed_intervals_df(
+    spark,
+    boxes,
+    bits: int = 30,
+    budget: int = 16,
+    bucket_shift: int | None = None,
+):
+    """Decompose a box batch and explode each interval onto the prefix
+    buckets it overlaps.  Returns (ivs_df, bucket_shift).
+
+    Purpose: turn the point-x-interval *range* join (which Spark executes
+    as BroadcastNestedLoopJoin — O(points x intervals), hopeless at
+    10^12 x 10^6) into a plain **equi-join on bucket id** (hash join,
+    shuffle-free with a broadcast build side).  bucket_shift is chosen so
+    the median interval covers ~1 bucket; each point probes exactly one
+    bucket.
+    """
+    decomposed = []
+    spans = []
+    for b in boxes:
+        ivs = decompose_box(tuple(b["mins"]), tuple(b["maxs"]), bits=bits, budget=budget)
+        decomposed.append((b, ivs))
+        spans.extend(iv.hi - iv.lo + 1 for iv in ivs)
+    if bucket_shift is None:
+        spans.sort()
+        med = spans[len(spans) // 2] if spans else 1
+        bucket_shift = max(1, med.bit_length())
+    rows = []
+    for b, ivs in decomposed:
+        for iv in ivs:
+            for bucket in range(iv.lo >> bucket_shift, (iv.hi >> bucket_shift) + 1):
+                rows.append((int(b["qid"]), iv.lo, iv.hi, iv.solid, bucket))
+    df = spark.createDataFrame(
+        rows, "qid long, lo long, hi long, solid boolean, bucket long"
+    )
+    return df, bucket_shift
+
+
+def bbox_join_bucketed(
+    points: DataFrame,
+    boxes_df: DataFrame,
+    ivs_bucketed: DataFrame,
+    bucket_shift: int,
+    *,
+    zkey_col: str = "zkey",
+    coord_cols: tuple[str, ...] = ("x", "y"),
+) -> DataFrame:
+    """Box-batch spatial join as a broadcast HASH join (scale path).
+
+    points -> bucket via one shift; equi-join against the exploded
+    interval relation; range + exact refinement afterwards.  One scan of
+    points answers the whole batch; AQE splits skewed buckets.
+    """
+    k = F.col(zkey_col)
+    pts = points.withColumn("_bucket", F.shiftrightunsigned(k, bucket_shift))
+    cand = pts.join(
+        F.broadcast(ivs_bucketed), pts["_bucket"] == ivs_bucketed["bucket"], "inner"
+    ).filter((k >= F.col("lo")) & (k <= F.col("hi")))
+    cand = cand.join(F.broadcast(boxes_df), "qid", "inner")
+    pred = F.lit(True)
+    dims = ("x", "y", "z")[: len(coord_cols)]
+    for c, d in zip(coord_cols, dims):
+        pred = pred & F.col(c).between(F.col(f"{d}0"), F.col(f"{d}1"))
+    return cand.filter(F.col("solid") | pred).drop("_bucket", "bucket", "lo", "hi", "solid")
+
+
+def bbox_join(
+    points: DataFrame,
+    boxes_df: DataFrame,
+    ivs: DataFrame,
+    *,
+    zkey_col: str = "zkey",
+    coord_cols: tuple[str, ...] = ("x", "y"),
+) -> DataFrame:
+    """Box-batch spatial join: every point joined to every box containing it.
+
+    `boxes_df` schema: (qid, x0, y0[, z0], x1, y1[, z1]); `ivs` from
+    :func:`intervals_df`.  Plan: broadcast-range-join points x intervals
+    (a point matches at most a handful of intervals since intervals are
+    disjoint per qid), then exact refinement against the box corners.
+    One scan of `points` answers the whole batch — the scalable analog of
+    calling the reference SRF 10^5 times (gentest.awk workload).
+    """
+    k = F.col(zkey_col)
+    cand = points.join(
+        F.broadcast(ivs),
+        (k >= F.col("lo")) & (k <= F.col("hi")),
+        "inner",
+    )
+    cand = cand.join(F.broadcast(boxes_df), "qid", "inner")
+    pred = F.lit(True)
+    dims = ("x", "y", "z")[: len(coord_cols)]
+    for c, d in zip(coord_cols, dims):
+        pred = pred & F.col(c).between(F.col(f"{d}0"), F.col(f"{d}1"))
+    # solid intervals need no refinement (every key in them is in the box)
+    return cand.filter(F.col("solid") | pred)
+
+
+def count_hits(boxes_df: DataFrame, hits: DataFrame) -> DataFrame:
+    """Per-box hit counts (0 for empty boxes) from a spatial-join result."""
+    return boxes_df.join(
+        hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")), "qid", "left"
+    ).select("qid", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+
+
+def count_boxes(points: DataFrame, boxes_df: DataFrame, ivs: DataFrame, **kw) -> DataFrame:
+    """Per-box hit counts — the reference's benchmark query shape
+    (gentest.awk:6: `select count(1) ... where x >= ... and y <= ...`),
+    executed as ONE distributed join instead of 10^5 serial lookups."""
+    return count_hits(boxes_df, bbox_join(points, boxes_df, ivs, **kw))

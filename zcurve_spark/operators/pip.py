@@ -1,0 +1,136 @@
+"""Point-in-polygon join: tile prefilter + exact integer ray-cast refine.
+
+SURVEY.md §2.7 construction: a polygon's covering tile set at an
+adaptively chosen level is the generalization of the box decomposition
+(each tile = a solid curve interval); candidates come from a broadcast
+tile equi-join, and the exact test is a vectorized ray-casting kernel in
+an Arrow-batched pandas UDF — exact because all arithmetic is int64 cross
+products (coords < 2^20, products < 2^42), no float rounding.
+
+Boundary semantics: points on a polygon edge or vertex count as INSIDE
+(matches the closed-box convention of the reference, bitkey.c:52-55, and
+the convex-polygon half-plane oracle `cross >= 0`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.columns import tile_id_col
+from ..plans.decompose import covering_tiles, pick_cover_level
+
+
+def _pip_kernel(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Exact inside-or-boundary test, vectorized over points.
+
+    px, py: int64 point arrays; verts: (m, 2) int64 polygon ring (closed
+    implicitly).  Returns boolean array.
+    """
+    n = len(px)
+    inside = np.zeros(n, dtype=bool)
+    on_edge = np.zeros(n, dtype=bool)
+    m = len(verts)
+    for j in range(m):
+        x1, y1 = int(verts[j][0]), int(verts[j][1])
+        x2, y2 = int(verts[(j + 1) % m][0]), int(verts[(j + 1) % m][1])
+        # on-segment: collinear and within bbox
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        within = (
+            (px >= min(x1, x2)) & (px <= max(x1, x2))
+            & (py >= min(y1, y2)) & (py <= max(y1, y2))
+        )
+        on_edge |= (cross == 0) & within
+        # ray casting (strict crossings of the upward ray)
+        cond = (y1 > py) != (y2 > py)
+        if y2 != y1:
+            # x < x1 + (x2-x1)*(py-y1)/(y2-y1), exact integer comparison
+            lhs = (px - x1) * (y2 - y1)
+            rhs = (x2 - x1) * (py - y1)
+            if y2 > y1:
+                crossed = cond & (lhs < rhs)
+            else:
+                crossed = cond & (lhs > rhs)
+            inside ^= crossed
+    return inside | on_edge
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: list[dict],
+    *,
+    zkey_col: str = "zkey",
+    bits: int = 20,
+    max_tiles: int = 256,
+) -> DataFrame:
+    """Join each point to every polygon containing it.
+
+    `polygons`: dicts {poly_id, vertices: [(x, y), ...]} (driver-side,
+    broadcastable — the dimension-table side of the join; points side is
+    arbitrarily large).  Returns points columns + poly_id.
+
+    Plan: per cover-level group, broadcast (tile_id, poly_id) relation,
+    equi-join on the point's tile at that level, then refine with the
+    exact kernel.  Candidate count per point is bounded by the number of
+    polygons whose cover includes its tile.
+    """
+    spark = points.sparkSession
+    by_level: dict[int, list[tuple[int, int]]] = {}
+    vert_map: dict[int, list[list[int]]] = {}
+    for p in polygons:
+        vs = p["vertices"]
+        xs = [v[0] for v in vs]
+        ys = [v[1] for v in vs]
+        mins, maxs = (min(xs), min(ys)), (max(xs), max(ys))
+        level = pick_cover_level(mins, maxs, bits=bits, max_tiles=max_tiles)
+        tiles = covering_tiles(mins, maxs, level, bits=bits, max_tiles=4 * max_tiles)
+        by_level.setdefault(level, []).extend(
+            (int(t), int(p["poly_id"])) for t in tiles
+        )
+        vert_map[int(p["poly_id"])] = [[int(a), int(b)] for a, b in vs]
+
+    bc_verts = spark.sparkContext.broadcast(vert_map)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_udf(poly_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        vm = bc_verts.value
+        px = x.to_numpy(np.int64)
+        py = y.to_numpy(np.int64)
+        out = np.zeros(len(px), dtype=bool)
+        for pid_val, idx in poly_id.groupby(poly_id).groups.items():
+            verts = np.asarray(vm[int(pid_val)], dtype=np.int64)
+            ii = np.asarray(idx)
+            out[ii] = _pip_kernel(px[ii], py[ii], verts)
+        return pd.Series(out)
+
+    result = None
+    for level, pairs in sorted(by_level.items()):
+        cover = spark.createDataFrame(pairs, "tile_id long, poly_id long")
+        cand = points.withColumn(
+            "_tile", tile_id_col(zkey_col, level, bits=bits)
+        ).join(F.broadcast(cover), F.col("_tile") == F.col("tile_id"), "inner")
+        hits = cand.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y"))).drop(
+            "_tile", "tile_id"
+        )
+        result = hits if result is None else result.unionByName(hits)
+    return result
+
+
+def convex_polygon(poly_id: int, cx: int, cy: int, radius: int, n: int, *, seed: int = 0) -> dict:
+    """Deterministic convex test polygon (integer vertices on a circle).
+
+    Convex so the pytest/DuckDB oracle can verify with half-plane cross
+    products while the engine runs the general ray-cast path.
+    """
+    import math
+
+    verts = []
+    for i in range(n):
+        ang = 2 * math.pi * (i + (seed % 7) / 7.0) / n
+        verts.append(
+            (int(cx + radius * math.cos(ang)), int(cy + radius * math.sin(ang)))
+        )
+    return {"poly_id": poly_id, "vertices": verts}

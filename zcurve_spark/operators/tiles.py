@@ -1,0 +1,88 @@
+"""Tile (prefix-cell) assignment, raster<->vector joins, skew handling.
+
+A level-L tile is the set of points sharing the top 2L bits of their
+Z-key — exactly a *solid* curve interval (SURVEY.md §2.7), so tile
+membership is pure prefix arithmetic on the already-computed key
+(`zkey >> 2*(bits-level)`), never a recompute from coordinates.  This is
+the H3/S2-style cell layer of the engine: assignment is a Column shift,
+tile joins are equi-joins (hash-partitionable, AQE-skew-splittable), and
+a raster grid is just a relation of aligned tiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import tile_id_col
+
+
+def assign_tiles(df: DataFrame, levels=(4, 8, 12), zkey_col: str = "zkey", bits: int = 30) -> DataFrame:
+    """Add tile_l{L} columns for each requested level."""
+    for level in levels:
+        df = df.withColumn(f"tile_l{level}", tile_id_col(zkey_col, level, bits=bits))
+    return df
+
+
+def tile_counts(df: DataFrame, level: int, zkey_col: str = "zkey", bits: int = 30) -> DataFrame:
+    """Per-tile row counts — map-side partial agg then one shuffle on
+    tile id; the canonical tile-statistics query."""
+    return (
+        df.withColumn("tile_id", tile_id_col(zkey_col, level, bits=bits))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def raster_assign(
+    points: DataFrame,
+    raster: DataFrame,
+    level_col: str = "level",
+    cell_col: str = "cell_id",
+    zkey_col: str = "zkey",
+    bits: int = 30,
+) -> DataFrame:
+    """Raster->vector assignment: each point joined to the raster cell(s)
+    containing it, across possibly mixed cell levels.
+
+    A cell at level L contains a point iff the point's level-L tile id
+    equals the cell id (prefix containment == the solid-interval test
+    `cell_lo <= zkey <= cell_hi`).  Implemented as an equi-join per level
+    (raster side grouped by level) — broadcastable when the raster is
+    small, hash-join otherwise; never a theta-join.
+    """
+    levels = [r[0] for r in raster.select(level_col).distinct().collect()]
+    out = None
+    for level in sorted(levels):
+        cells = raster.filter(F.col(level_col) == level)
+        pts = points.withColumn("_tile", tile_id_col(zkey_col, level, bits=bits))
+        j = pts.join(cells, pts["_tile"] == cells[cell_col], "inner").drop("_tile")
+        out = j if out is None else out.unionByName(j)
+    return out
+
+
+def salt_hot_tiles(
+    df: DataFrame,
+    tile_col: str,
+    n_salt: int = 16,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Skew mitigation for hot tiles (dense cities at 10^12-row scale):
+    append a deterministic salt so one hot tile spreads over n_salt
+    shuffle partitions.  Aggregations run per (tile, salt) then re-reduce
+    per tile; joins replicate the small side per salt value.
+    """
+    h = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(*df.columns[:1])
+    return df.withColumn("tile_salt", F.pmod(h, F.lit(n_salt)))
+
+
+def tile_counts_salted(
+    df: DataFrame, level: int, zkey_col: str = "zkey", bits: int = 30, n_salt: int = 16,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Two-stage salted tile count: identical result to tile_counts, but a
+    hot tile's reduction fans out over n_salt partitions first."""
+    t = df.withColumn("tile_id", tile_id_col(zkey_col, level, bits=bits))
+    t = salt_hot_tiles(t, "tile_id", n_salt=n_salt, id_col=id_col)
+    partial = t.groupBy("tile_id", "tile_salt").agg(F.count(F.lit(1)).alias("pn"))
+    return partial.groupBy("tile_id").agg(F.sum("pn").alias("n"))
