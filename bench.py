@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Headline workloads (the north-rule metric is spatial-join +
+tile-assignment throughput in docs/sec and spans/sec):
+
+  tile_assign   — interleaved docs -> explode -> geo -> zkey -> tiles ->
+                  per-tile agg (flagship pipeline)
+  bbox_batch    — 200-box batch spatial join (gentest.awk shape) via the
+                  bucketed hash-join path
+  knn           — 16 queries, k=10, expanding curve neighborhoods
+  pip           — 3-polygon point-in-polygon join
+  minhash_dedup — shingle->minhash->LSH band join over documents
+  ann_topk      — exact quantized-cosine top-k, 8 query vectors
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from zcurve_spark.operators.bbox import (
+    bbox_join_bucketed,
+    bucketed_intervals_df,
+    count_hits,
+)
+from zcurve_spark.operators.dedup import minhash_lsh_pairs
+from zcurve_spark.operators.knn import knn
+from zcurve_spark.operators.pip import pip_join
+from zcurve_spark.operators.similarity import ann_topk
+from zcurve_spark.operators.tiles import assign_tiles
+from zcurve_spark.session import get_spark
+from zcurve_spark.sources.interleaved import (
+    explode_spans,
+    interleaved_docs,
+    with_span_geo,
+)
+from zcurve_spark.sources.points import BITS, DOMAIN, boxes_df, points_from_lineitem
+from zcurve_spark.entry_queries import POLYGONS
+
+
+def _boxes(n):
+    out = []
+    for qid in range(n):
+        h = (qid * 2654435761 + 99991) % (2**31)
+        h = (h * 1103515245 + 12345) % (2**31)
+        x0 = h % 900_000
+        h = (h * 69069 + 1) % (2**31)
+        y0 = h % 900_000
+        ext = 1000 + (h % 80_000)
+        out.append({"qid": qid, "mins": (x0, y0), "maxs": (min(x0 + ext, DOMAIN - 1), min(y0 + ext, DOMAIN - 1))})
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app="zcurve-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
+
+    # --- tile assignment (flagship; docs/sec + spans/sec) ---
+    docs = interleaved_docs(spark, sf_dir)
+    n_docs = docs.count()
+
+    def tile_assign():
+        spans = with_span_geo(explode_spans(docs), bits=30)
+        tiled = assign_tiles(spans, levels=(4, 8, 12), bits=30)
+        agg = tiled.groupBy("tile_l8").agg(
+            F.count(F.lit(1)).alias("n_spans"), F.countDistinct("doc_id").alias("n_docs")
+        )
+        return agg.agg(F.sum("n_spans")).collect()[0][0]
+
+    run("tile_assign", tile_assign)
+    n_spans = counts["tile_assign"]
+
+    # --- batch bbox join ---
+    pts = points_from_lineitem(spark, sf_dir).cache()
+    n_points = pts.count()
+    boxes = _boxes(200)
+
+    def bbox_batch():
+        bdf = boxes_df(spark, boxes)
+        bivs, shift = bucketed_intervals_df(spark, boxes, bits=BITS, budget=16)
+        return count_hits(bdf, bbox_join_bucketed(pts, bdf, bivs, shift)).count()
+
+    run("bbox_batch", bbox_batch)
+
+    # --- kNN ---
+    kq = [
+        {"qid": i, "qx": (i * 137_777 + 50_000) % DOMAIN, "qy": (i * 733_333 + 90_000) % DOMAIN, "k": 10}
+        for i in range(16)
+    ]
+    run("knn", lambda: knn(pts, kq, bits=BITS, domain=DOMAIN, n_points_hint=n_points).count())
+
+    # --- PIP ---
+    run("pip", lambda: pip_join(pts, POLYGONS, bits=BITS).count())
+
+    # --- minhash dedup ---
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run("minhash_dedup", lambda: minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count())
+
+    # --- ANN top-k ---
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    run("ann_topk", lambda: ann_topk(emb, list(range(8)), 10).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / timings["tile_assign"], 1),
+        "spans_per_sec": round(n_spans / timings["tile_assign"], 1),
+        "boxes_per_sec": round(len(boxes) / timings["bbox_batch"], 1),
+        "points": n_points,
+        "docs": n_docs,
+        "spans": n_spans,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""kNN and PIP edge cases beyond the sf0.01 oracle harness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zcurve_spark.operators.knn import knn
+from zcurve_spark.operators.pip import _pip_kernel, convex_polygon, pip_join
+from zcurve_spark.sources.points import BITS, DOMAIN, points_from_lineitem
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = points_from_lineitem(spark, SF_DIR).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pdf(pts):
+    return pts.toPandas()
+
+
+def _brute_knn(pdf, q):
+    d2 = (pdf.x - q["qx"]) ** 2 + (pdf.y - q["qy"]) ** 2
+    t = pdf.assign(d2=d2).sort_values(["d2", "pid", "x", "y"]).head(q["k"])
+    return list(map(tuple, t[["pid", "x", "y", "d2"]].values.tolist()))
+
+
+class TestKnn:
+    def test_corner_and_center_queries(self, pts, pdf):
+        qs = [
+            {"qid": 0, "qx": 0, "qy": 0, "k": 3},                      # domain corner
+            {"qid": 1, "qx": DOMAIN - 1, "qy": DOMAIN - 1, "k": 7},    # far corner
+            {"qid": 2, "qx": DOMAIN // 2, "qy": DOMAIN // 2, "k": 1},  # k=1
+        ]
+        got = knn(pts, qs, bits=BITS, domain=DOMAIN).toPandas()
+        for q in qs:
+            g = got[got.qid == q["qid"]].sort_values("rank")
+            assert list(map(tuple, g[["pid", "x", "y", "d2"]].values.tolist())) == _brute_knn(pdf, q)
+
+    def test_k_larger_than_initial_radius_finds_all(self, pts, pdf):
+        q = {"qid": 0, "qx": 500_000, "qy": 500_000, "k": 50}
+        got = knn(pts, [q], bits=BITS, domain=DOMAIN).toPandas().sort_values("rank")
+        assert list(map(tuple, got[["pid", "x", "y", "d2"]].values.tolist())) == _brute_knn(pdf, q)
+
+
+class TestPipKernel:
+    def test_square_boundaries_inclusive(self):
+        verts = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=np.int64)
+        px = np.array([5, 0, 10, 5, 11, -1, 0], dtype=np.int64)
+        py = np.array([5, 0, 10, 10, 5, 5, 5], dtype=np.int64)
+        got = _pip_kernel(px, py, verts)
+        assert got.tolist() == [True, True, True, True, False, False, True]
+
+    def test_concave_polygon(self):
+        # L-shape: general ray casting must handle concavity
+        verts = np.array([(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10)], dtype=np.int64)
+        inside = [(2, 2), (8, 2), (2, 8), (4, 4)]
+        outside = [(8, 8), (5, 5), (11, 2)]
+        for (x, y), want in [(p, True) for p in inside] + [(p, False) for p in outside]:
+            got = _pip_kernel(np.array([x], np.int64), np.array([y], np.int64), verts)[0]
+            assert got == want, (x, y)
+
+    def test_matches_matplotlib_free_model(self, pts, pdf):
+        poly = convex_polygon(0, 400_000, 400_000, 150_000, 7, seed=2)
+        hits = pip_join(pts, [poly], bits=BITS).toPandas()
+        verts = np.array(poly["vertices"], dtype=np.int64)
+        exp = _pip_kernel(pdf.x.to_numpy(np.int64), pdf.y.to_numpy(np.int64), verts)
+        got_set = sorted(map(tuple, hits[["pid", "x", "y"]].values.tolist()))
+        exp_set = sorted(map(tuple, pdf[exp][["pid", "x", "y"]].values.tolist()))
+        assert got_set == exp_set

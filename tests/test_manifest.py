@@ -1,0 +1,89 @@
+"""Storage layer: sorted layout, manifest stats, file pruning, resumable
+stages — and proof that zkey BETWEEN predicates reach the Parquet scan
+(PushedFilters), the Spark analog of the B-tree descent."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from zcurve_spark.functions.columns import interval_filter
+from zcurve_spark.plans.decompose import decompose_box
+from zcurve_spark.sources.manifest import (
+    StageRunner,
+    load_manifest,
+    prune_files,
+    read_pruned,
+    write_sorted,
+)
+from zcurve_spark.sources.points import BITS, points_from_lineitem
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sorted_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "points_sorted")
+    pts = points_from_lineitem(spark, SF_DIR)
+    write_sorted(pts, path, zkey_col="zkey", n_partitions=8, lineage={"stage": "t"})
+    return path
+
+
+def test_manifest_stats(spark, sorted_path):
+    m = load_manifest(sorted_path)
+    assert m["total_rows"] == points_from_lineitem(spark, SF_DIR).count()
+    files = m["files"]
+    assert len(files) == 8
+    # range partitioning -> non-overlapping zkey ranges across files
+    spans = sorted((f["zkey_min"], f["zkey_max"]) for f in files)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+
+
+def test_pruning_correct_and_effective(spark, sorted_path):
+    box = ((100_000, 100_000), (150_000, 160_000))
+    ivs = decompose_box(*box, bits=BITS, budget=16)
+    m = load_manifest(sorted_path)
+    kept = prune_files(m, ivs)
+    assert 0 < len(kept) < len(m["files"]), "pruning should drop some files"
+    full = spark.read.parquet(sorted_path)
+    pruned = read_pruned(spark, sorted_path, ivs)
+    pred = interval_filter("zkey", ivs) & F.col("x").between(*[box[0][0], box[1][0]]) & F.col(
+        "y"
+    ).between(box[0][1], box[1][1])
+    assert sorted(r.pid for r in pruned.filter(pred).collect()) == sorted(
+        r.pid for r in full.filter(pred).collect()
+    )
+
+
+def test_pushed_filters_reach_parquet_scan(spark, sorted_path):
+    """On the stored layout, zkey BETWEENs must appear in PushedFilters."""
+    ivs = decompose_box((100_000, 100_000), (150_000, 160_000), bits=BITS, budget=8)
+    df = spark.read.parquet(sorted_path).filter(interval_filter("zkey", ivs))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "zkey" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_stage_runner_resume(spark, tmp_path):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return points_from_lineitem(spark, SF_DIR)
+
+    sr = StageRunner(spark, str(tmp_path / "stages"))
+    df1 = sr.run("pts", "fp-v1", build)
+    n1 = df1.count()
+    df2 = sr.run("pts", "fp-v1", build)  # same fingerprint -> resume
+    assert calls["n"] == 1
+    assert df2.count() == n1
+    sr.run("pts", "fp-v2", build)  # changed input -> recompute
+    assert calls["n"] == 2

@@ -1,0 +1,89 @@
+"""Similarity-search operators vs numpy models."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zcurve_spark.operators.similarity import (
+    ann_topk,
+    cosine_neardup_pairs,
+    lsh_cosine_candidates,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def mats(emb):
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    Q = np.floor(M * 100).astype(np.int64)  # the quantization the engine uses
+    return ids, Q
+
+
+def test_ann_topk_matches_numpy(emb, mats):
+    ids, Q = mats
+    k = 5
+    got = ann_topk(emb, [0, 1, 2], k).toPandas()
+    for qid in (0, 1, 2):
+        qv = Q[ids == qid][0]
+        dots = Q @ qv
+        order = sorted(
+            [(int(d), int(i)) for d, i in zip(dots, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        g = got[got.qid == qid].sort_values("rank")
+        assert list(g.vec_id) == [i for _, i in order]
+        assert list(g["dot"]) == [d for d, _ in order]  # .dot is a pandas method
+
+
+def test_neardup_exact_matches_numpy(emb, mats):
+    ids, Q = mats
+    got = cosine_neardup_pairs(emb).toPandas()
+    got_pairs = set(map(tuple, got[["a_id", "b_id"]].values.tolist()))
+    n2 = (Q * Q).sum(axis=1)
+    G = Q @ Q.T
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = int(G[i, j])
+            if d > 0 and 4 * d * d >= int(n2[i]) * int(n2[j]):
+                expect.add((int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))))
+    assert got_pairs == expect
+
+
+def test_lsh_recall_on_strong_pairs(emb, mats):
+    """LSH candidates must contain most high-cosine pairs (recall check;
+    exactness is the verify step's job)."""
+    ids, Q = mats
+    n2 = (Q * Q).sum(axis=1).astype(np.float64)
+    G = (Q @ Q.T).astype(np.float64)
+    cos = G / np.sqrt(np.outer(n2, n2))
+    strong = [
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.8
+    ]
+    cand = lsh_cosine_candidates(emb, n_planes=16, n_bands=8).toPandas()
+    cand_pairs = set(map(tuple, cand[["a_id", "b_id"]].values.tolist()))
+    if strong:
+        recall = len(set(strong) & cand_pairs) / len(strong)
+        assert recall >= 0.8, f"LSH recall {recall} on {len(strong)} strong pairs"
+
+
+def test_lsh_verified_subset_of_exact(emb, mats):
+    got_lsh = cosine_neardup_pairs(emb, use_lsh=True, n_planes=16, n_bands=8).toPandas()
+    got_exact = cosine_neardup_pairs(emb).toPandas()
+    lp = set(map(tuple, got_lsh[["a_id", "b_id"]].values.tolist()))
+    ep = set(map(tuple, got_exact[["a_id", "b_id"]].values.tolist()))
+    assert lp <= ep  # verification removes all false positives

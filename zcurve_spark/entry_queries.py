@@ -1,0 +1,527 @@
+"""Query registry backing __spark_entry__.py — the driver's correctness gate.
+
+Each entry pairs a Spark implementation (built from the engine's
+operators) with an independent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables.  Column names and integer-valued outputs are kept
+identical on both sides (the driver compares row-count + schema +
+order-insensitive value hash).
+
+Workload literals (boxes, polygons, kNN queries, raster cells) are fixed
+module constants inlined into both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions.columns import zkey2_col
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.bbox import (
+    bbox_join_bucketed,
+    bbox_lookup,
+    bucketed_intervals_df,
+    count_hits,
+)
+from .operators.knn import knn
+from .plans.decompose import encode_point
+from .operators.pip import convex_polygon, pip_join
+from .operators.tiles import raster_assign, tile_counts, tile_counts_salted
+from .sources.interleaved import explode_spans, interleaved_docs, with_span_geo
+from .sources.points import (
+    BITS,
+    DOMAIN,
+    POINTS_SQL,
+    boxes_df,
+    boxes_values_sql,
+    points_from_lineitem,
+)
+
+# ---------------------------------------------------------------------------
+# shared SQL helpers
+# ---------------------------------------------------------------------------
+
+_SPREAD_STEPS = (
+    (16, 281470681808895),      # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),     # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),   # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),   # 0x3333333333333333
+    (1, 6148914691236517205),   # 0x5555555555555555
+)
+
+
+def spread_sql(e: str) -> str:
+    """SQL expression spreading bit i of `e` to bit 2i (matches
+    columns.spread2_col / curvekey.spread2 bit-for-bit)."""
+    for shift, mask in _SPREAD_STEPS:
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e
+
+
+def zkey_sql(x: str, y: str) -> str:
+    return f"({spread_sql(x)} | ({spread_sql(y)} << 1))"
+
+
+PTS_CTE = f"pts AS ({POINTS_SQL})"
+
+# ---------------------------------------------------------------------------
+# fixed workloads
+# ---------------------------------------------------------------------------
+
+def _mk_boxes():
+    out = []
+    # 10 large boxes (meaningful hit counts at sf0.01)
+    for qid in range(10):
+        h = (qid * 2654435761 + 99991) % (2**31)
+        h = (h * 1103515245 + 12345) % (2**31)
+        x0 = h % 700_000
+        h = (h * 69069 + 1) % (2**31)
+        y0 = h % 700_000
+        out.append({"qid": qid, "mins": (x0, y0), "maxs": (x0 + 220_000, y0 + 180_000)})
+    # 6 gentest.awk-style aligned 1000x1000 boxes
+    for qid in range(10, 16):
+        h = (qid * 40503 + 7) % 1000
+        x0 = h * 1000
+        y0 = ((qid * 69069 + 11) % 1000) * 1000
+        out.append({"qid": qid, "mins": (x0, y0), "maxs": (min(x0 + 1000, DOMAIN - 1), min(y0 + 1000, DOMAIN - 1))})
+    return out
+
+
+BBOX_BOXES = _mk_boxes()
+BBOX_SINGLE = {"mins": (150_000, 420_000), "maxs": (390_000, 600_000)}
+BBOX_SINGLE_3D = {"mins": (100_000, 200_000, 300_000), "maxs": (420_000, 540_000, 660_000)}
+
+KNN_QUERIES = [
+    {"qid": i, "qx": (i * 137_777 + 50_000) % DOMAIN, "qy": (i * 733_333 + 90_000) % DOMAIN, "k": 5}
+    for i in range(6)
+]
+
+POLYGONS = [
+    convex_polygon(0, 300_000, 300_000, 120_000, 6, seed=1),
+    convex_polygon(1, 700_000, 450_000, 80_000, 5, seed=3),
+    convex_polygon(2, 450_000, 750_000, 150_000, 8, seed=5),
+]
+
+RASTER_CELLS = [  # (tx, ty) at level 8 (shift 12); domain>>12 = 244
+    (12, 34), (99, 180), (200, 40), (150, 150), (7, 210), (230, 230), (60, 120), (180, 75),
+]
+
+ANN_QUERY_IDS = [0, 1, 2, 3]
+ANN_K = 5
+
+
+def _poly_edges_values() -> str:
+    rows = []
+    for p in POLYGONS:
+        vs = p["vertices"]
+        for j in range(len(vs)):
+            ex, ey = vs[j]
+            fx, fy = vs[(j + 1) % len(vs)]
+            rows.append(f"({p['poly_id']}, {ex}, {ey}, {fx}, {fy})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(poly_id, ex, ey, fx, fy)"
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_lineitem(spark, sf_dir)
+    bdf = boxes_df(spark, BBOX_BOXES)
+    bivs, shift = bucketed_intervals_df(spark, BBOX_BOXES, bits=BITS, budget=16)
+    hits = bbox_join_bucketed(pts, bdf, bivs, shift)
+    return count_hits(bdf, hits).select("qid", "n_hits")
+
+
+def q_bbox_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_lineitem(spark, sf_dir)
+    return bbox_lookup(pts, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], bits=BITS)
+
+
+def q_bbox_rows_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_lineitem(spark, sf_dir)
+    return bbox_lookup(
+        pts,
+        BBOX_SINGLE_3D["mins"],
+        BBOX_SINGLE_3D["maxs"],
+        zkey_col="zkey3",
+        coord_cols=("x", "y", "z"),
+        bits=BITS,
+    )
+
+
+def q_bbox_rows_tidonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zcurve_2d_lookup_tidonly parity (zcurve.c:186-262): same row set,
+    curve order, no sort — the driver's hash is order-insensitive so the
+    same oracle applies."""
+    pts = points_from_lineitem(spark, sf_dir)
+    return bbox_lookup(
+        pts, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], bits=BITS, sort_by_id=False
+    )
+
+
+def q_zkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_lineitem(spark, sf_dir).select("pid", "x", "y", "zkey")
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = with_span_geo(explode_spans(interleaved_docs(spark, sf_dir)), bits=20)
+    return tile_counts(spans, level=8, bits=20).select("tile_id", "n")
+
+
+def q_tile_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = with_span_geo(explode_spans(interleaved_docs(spark, sf_dir)), bits=20)
+    return tile_counts_salted(spans, level=8, bits=20, id_col="doc_id").select("tile_id", "n")
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_lineitem(spark, sf_dir)
+    return knn(pts, KNN_QUERIES, bits=BITS, domain=DOMAIN).select(
+        "qid", "rank", "pid", "x", "y", "d2"
+    )
+
+
+def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_lineitem(spark, sf_dir)
+    hits = pip_join(pts, POLYGONS, bits=BITS)
+    polys = spark.createDataFrame([(p["poly_id"],) for p in POLYGONS], "poly_id long")
+    agg = hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+    return polys.join(agg, "poly_id", "left").select(
+        "poly_id", F.coalesce("n_points", F.lit(0)).alias("n_points")
+    )
+
+
+def q_raster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.decompose import encode_point
+
+    pts = points_from_lineitem(spark, sf_dir)
+    cells = spark.createDataFrame(
+        [(encode_point((tx, ty), 8), 8) for tx, ty in RASTER_CELLS],
+        "cell_id long, level int",
+    )
+    hits = raster_assign(pts, cells, zkey_col="zkey", bits=BITS)
+    agg = hits.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    return cells.select("cell_id").join(agg, "cell_id", "left").select(
+        "cell_id", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.exact_dedup(docs).select("text_hash", "n_docs", "min_doc")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.ngram_jaccard_pairs(docs, min_jaccard_milli=10).select(
+        "a_id", "b_id", "jac_milli"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score_milli("text", "n_chars").alias("quality_milli"),
+        TX.punct_count("text").alias("n_punct"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ann_topk(emb, ANN_QUERY_IDS, ANN_K).select("qid", "rank", "vec_id", "dot")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_neardup_pairs(emb).select("a_id", "b_id", "dot")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v_milli"),
+        )
+        .select("hour", "event_type", "n_events", "v_milli")
+    )
+
+
+# ----- rows-only queries (no SQL oracle; pytest-verified instead) -----
+
+
+def q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udfs import hilbert2_udf
+
+    pts = points_from_lineitem(spark, sf_dir)
+    return pts.select("pid", "x", "y", hilbert2_udf(20)(F.col("x"), F.col("y")).alias("hkey"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(docs, verify_min_jaccard_milli=100).select(
+        "a_id", "b_id", "jac_milli"
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_neardup_pairs(docs, max_hamming=10).select("a_id", "b_id", "hamming")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_neardup_pairs(emb, use_lsh=True).select("a_id", "b_id", "dot")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _oracle_sql() -> dict[str, str]:
+    b = BBOX_SINGLE
+    b3 = BBOX_SINGLE_3D
+    knn_vals = ", ".join(f"({q['qid']}, {q['qx']}, {q['qy']}, {q['k']})" for q in KNN_QUERIES)
+    cells_vals = ", ".join(
+        f"({encode_point((tx, ty), 8)}, {tx}, {ty})" for tx, ty in RASTER_CELLS
+    )
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "bbox_count": f"""
+            WITH {PTS_CTE}
+            SELECT qid, count(p.pid) AS n_hits
+            FROM {boxes_values_sql(BBOX_BOXES)}
+            LEFT JOIN pts p ON p.x BETWEEN x0 AND x1 AND p.y BETWEEN y0 AND y1
+            GROUP BY qid
+        """,
+        "bbox_rows": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
+        """,
+        "bbox_rows_tidonly": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
+        """,
+        "bbox_rows_3d": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y, z FROM pts
+            WHERE x BETWEEN {b3['mins'][0]} AND {b3['maxs'][0]}
+              AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
+              AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
+        """,
+        "zkey_encode": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y, {zkey_sql('x', 'y')} AS zkey FROM pts
+        """,
+        "tile_counts": f"""
+            WITH spans AS (
+              SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 8 AS BIGINT))) AS i
+              FROM documents
+            ), coords AS (
+              SELECT ((doc_id * 2654435761 + i * 97 + 12345) % 1048576) AS qx,
+                     ((doc_id * 1013904223 + i * 31 + 54321) % 1048576) AS qy
+              FROM spans
+            )
+            SELECT {zkey_sql('qx >> 12', 'qy >> 12')} AS tile_id, count(*) AS n
+            FROM coords GROUP BY 1
+        """,
+        "tile_counts_salted": f"""
+            WITH spans AS (
+              SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 8 AS BIGINT))) AS i
+              FROM documents
+            ), coords AS (
+              SELECT ((doc_id * 2654435761 + i * 97 + 12345) % 1048576) AS qx,
+                     ((doc_id * 1013904223 + i * 31 + 54321) % 1048576) AS qy
+              FROM spans
+            )
+            SELECT {zkey_sql('qx >> 12', 'qy >> 12')} AS tile_id, count(*) AS n
+            FROM coords GROUP BY 1
+        """,
+        "knn": f"""
+            WITH {PTS_CTE},
+            q(qid, qx, qy, k) AS (VALUES {knn_vals}),
+            d AS (
+              SELECT qid, pid, x, y,
+                     (x - qx) * (x - qx) + (y - qy) * (y - qy) AS d2, k,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY (x - qx) * (x - qx) + (y - qy) * (y - qy), pid, x, y
+                     ) AS rank
+              FROM q CROSS JOIN pts
+            )
+            SELECT qid, rank, pid, x, y, d2 FROM d WHERE rank <= k
+        """,
+        "pip_count": f"""
+            WITH {PTS_CTE},
+            gp AS (SELECT pid, x, y, count(*) AS mult FROM pts GROUP BY pid, x, y),
+            inside AS (
+              SELECT e.poly_id, g.pid, g.x, g.y, g.mult
+              FROM gp g CROSS JOIN {_poly_edges_values()}
+              GROUP BY e.poly_id, g.pid, g.x, g.y, g.mult
+              HAVING min((e.fx - e.ex) * (g.y - e.ey) - (e.fy - e.ey) * (g.x - e.ex)) >= 0
+            )
+            SELECT p.poly_id, CAST(coalesce(sum(i.mult), 0) AS BIGINT) AS n_points
+            FROM (VALUES (0), (1), (2)) p(poly_id)
+            LEFT JOIN inside i ON p.poly_id = i.poly_id
+            GROUP BY p.poly_id
+        """,
+        "raster_assign": f"""
+            WITH {PTS_CTE},
+            cells(cell_id, tx, ty) AS (VALUES {cells_vals})
+            SELECT cell_id, count(p.pid) AS n
+            FROM cells LEFT JOIN pts p ON (p.x >> 12) = tx AND (p.y >> 12) = ty
+            GROUP BY cell_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id, lang,
+                     list_distinct(
+                       CASE WHEN len(w) < 3 THEN []
+                            ELSE list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END) AS grams
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(floor(1000.0 * len(list_intersect(a.grams, b.grams))
+                        / greatest(len(a.grams) + len(b.grams)
+                                   - len(list_intersect(a.grams, b.grams)), 1)) AS BIGINT)
+                     AS jac_milli
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(floor(1000.0 * len(list_intersect(a.grams, b.grams))
+                       / greatest(len(a.grams) + len(b.grams)
+                                  - len(list_intersect(a.grams, b.grams)), 1)) AS BIGINT) >= 10
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(floor(1000.0 * len(string_split(text, ' '))
+                        / greatest(n_chars, 1)) AS BIGINT) AS quality_milli,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "lang_id": _lang_id_sql(),
+        "ann_topk": f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            d AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                     CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+              FROM v q CROSS JOIN v c
+              WHERE q.vec_id IN ({ann_ids}) AND c.vec_id != q.vec_id
+            ),
+            r AS (
+              SELECT qid, vec_id, dot,
+                     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, vec_id, dot FROM r WHERE rank <= {ANN_K}
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            n AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+              AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                  * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 4
+                  >= a.n2 * b.n2
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 1000) AS BIGINT)) AS v_milli
+            FROM events GROUP BY 1, 2
+        """,
+    }
+
+
+def _lang_id_sql() -> str:
+    score = {}
+    for lang, markers in TX.LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}" for m in markers
+        )
+        score[lang] = f"CAST({terms} AS BIGINT)"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {score['en']} AS s_en, {score['de']} AS s_de, {score['es']} AS s_es,
+                 {score['fr']} AS s_fr, {score['zh']} AS s_zh
+          FROM (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)
+        )
+        SELECT doc_id, CASE
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          WHEN s_fr >= s_zh THEN 'fr'
+          ELSE 'zh' END AS lang_pred
+        FROM s
+    """
+
+
+def build_queries():
+    return {
+        "bbox_count": q_bbox_count,
+        "bbox_rows": q_bbox_rows,
+        "bbox_rows_tidonly": q_bbox_rows_tidonly,
+        "bbox_rows_3d": q_bbox_rows_3d,
+        "zkey_encode": q_zkey_encode,
+        "tile_counts": q_tile_counts,
+        "tile_counts_salted": q_tile_counts_salted,
+        "knn": q_knn,
+        "pip_count": q_pip_count,
+        "raster_assign": q_raster_assign,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible or engine-specific hashes)
+        "hilbert_encode": q_hilbert_encode,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lsh_ann": q_lsh_ann,
+    }
+
+
+def build_oracles():
+    return _oracle_sql()

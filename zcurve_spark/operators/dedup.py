@@ -1,0 +1,237 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+All hot paths are built-in Column expressions (xxhash64, md5, array
+higher-order functions) — JVM-side, whole-stage codegen, no Python.
+The LSH variants follow the classic shingle -> minhash -> band ->
+bucket-join construction: the only shuffle is the equi-join/groupBy on
+(band, signature), which scales linearly and AQE-splits hot buckets
+(e.g. boilerplate-heavy shingle sets).
+
+* exact_dedup        — md5(text) hash groups (one shuffle on the hash)
+* ngram_jaccard_pairs— blocked exact word-n-gram Jaccard (quadratic
+                       within blocks; the exact small-scale oracle)
+* minhash_lsh_pairs  — MinHash+LSH candidates, optionally verified with
+                       exact Jaccard (the 10^12-row path)
+* simhash            — 48-bit SimHash fingerprint per doc; neardup =
+                       banded hamming join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-31 modulus: pmod(xxhash64, M) * a + b stays far below 2^63
+# for a <= 63, b < 2^40 — overflow-safe int64 arithmetic.
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, n_docs, min_doc).  Map-side
+    partial agg -> one shuffle on the 128-bit hash; no text comparison."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
+    )
+
+
+def word_ngrams(text_col, n: int = 3):
+    """array<string> of word n-grams (whitespace tokenized)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = F.split(c, " ")
+    return F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 3,
+    min_jaccard_milli: int = 150,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs within blocks.
+
+    Output (a_id, b_id, jac_milli) with jac_milli = floor(1000*|I|/|U|),
+    all-integer so it is engine-independent.  Quadratic within a block —
+    use minhash_lsh_pairs at scale; this is the exact oracle-checkable
+    variant.
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    )
+    a = g.select(F.col("id").alias("a_id"), F.col("blk"), F.col("grams").alias("ga"))
+    b = g.select(F.col("id").alias("b_id"), F.col("blk"), F.col("grams").alias("gb"))
+    j = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.floor(F.lit(1000) * inter / F.greatest(union, F.lit(1))).cast("long")
+    return (
+        j.withColumn("jac_milli", jac)
+        .filter(F.col("jac_milli") >= min_jaccard_milli)
+        .select("a_id", "b_id", "jac_milli")
+    )
+
+
+def minhash_signature(grams_col, n_hashes: int = 32):
+    """array<long> MinHash signature: h_i = min over shingles of
+    (a_i * xxhash64(s) + b_i) mod M61, with fixed odd a_i/b_i."""
+    g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
+    sigs = []
+    for i in range(n_hashes):
+        a = 2 * i + 1
+        b = 0x9E3779B9 * (i + 1) & ((1 << 40) - 1)
+        h = F.transform(
+            g, lambda s: (F.pmod(F.xxhash64(s), F.lit(MERSENNE)) * a + b) % MERSENNE
+        )
+        sigs.append(F.when(F.size(g) == 0, F.lit(-1)).otherwise(F.array_min(h)))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    verify_min_jaccard_milli: int | None = 500,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
+
+    shingle -> 32 minhashes -> 8 bands of 4 -> equi-join on
+    (band, signature) -> optional exact-Jaccard verification of the
+    candidates only.  Every stage is a narrow map except the band join.
+    Output (a_id, b_id[, jac_milli]).
+    """
+    rows = n_hashes // n_bands
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    ).withColumn("sig", minhash_signature("grams", n_hashes))
+    bands = g.select(
+        "id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bidx * rows + r + 1) for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bidx in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "grams", "bs.band", "bs.bh")
+    a = bands.select(F.col("id").alias("a_id"), F.col("grams").alias("ga"), "band", "bh")
+    b = bands.select(F.col("id").alias("b_id"), F.col("grams").alias("gb"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ga", "gb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    if verify_min_jaccard_milli is None:
+        return cand.select("a_id", "b_id")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.floor(F.lit(1000) * inter / F.greatest(union, F.lit(1))).cast("long")
+    return (
+        cand.withColumn("jac_milli", jac)
+        .filter(F.col("jac_milli") >= verify_min_jaccard_milli)
+        .select("a_id", "b_id", "jac_milli")
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_col(text_col, bits: int = SIMHASH_BITS):
+    """SimHash fingerprint of whitespace tokens, as a non-negative long.
+
+    Per token t and bit j: contribute +1 if bit j of xxhash64(t) else -1;
+    fingerprint bit j = (sum > 0).  Pure array aggregates, JVM-side.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(c, " ")
+
+    def bit_term(j: int):
+        # NB: HOF lambdas must have exactly the arity Spark expects —
+        # binding j via a default arg would make Spark feed it a lambda
+        # variable.  Close over j instead.
+        mask = F.lit(1 << j).cast("long")
+        return lambda acc, t: acc + F.when(
+            F.xxhash64(t).bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        sum_j = F.aggregate(tokens, F.lit(0).cast("long"), bit_term(j))
+        out = out + F.when(sum_j > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: if hamming <= max_hamming and we split the
+    fingerprint into n_bands > max_hamming/ (bits/band) ... practically:
+    with n_bands bands, any pair within distance < n_bands shares at
+    least one exact band -> equi-join on (band, band_bits), verify
+    hamming on candidates.  Output (a_id, b_id, hamming).
+    """
+    band_bits = bits // n_bands
+    s = docs.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    bands = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), bidx * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bb"),
+                    )
+                    for bidx in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "sh", "bs.band", "bs.bb")
+    a = bands.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"), "band", "bb")
+    b = bands.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"), "band", "bb")
+    cand = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -71,7 +71,11 @@ def knn(
             F.broadcast(qmeta), "qid"
         )
         d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
-        w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("pid").asc())
+        # pid is not unique in the synthetic tables -> extend the tiebreak
+        # to full coords so ranking is a total order (oracle-comparable)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("d2").asc(), F.col("pid").asc(), F.col("x").asc(), F.col("y").asc()
+        )
         topk = (
             cand.withColumn("d2", d2.cast("long"))
             .withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both JVM-side (no Python in the hot loop):
+
+* Brute-force top-k on **quantized integer** dot products — the exact
+  baseline.  Quantizing each coordinate to floor(x*100) first makes the
+  dot product exact integer arithmetic: deterministic across engines and
+  partitionings (a raw float32 sum is order-dependent and cannot be
+  oracle-checked bit-for-bit).
+* Random-hyperplane LSH (sign sketches with Rademacher entries derived
+  from xxhash64) — the scale path: bucket by sketch prefix, verify
+  exact similarity only within buckets.  At 10^12 rows the crossJoin is
+  impossible; the LSH join is an equi-join on (band, signature), fully
+  shuffle-partitionable and AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 100  # quantization scale; dims*max_val^2*QUANT^2 must stay << 2^63
+
+
+def quantized(col, scale: int = QUANT):
+    """array<float> -> array<long> with per-element floor(x*scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x * F.lit(float(scale))).cast("long"))
+
+
+def dot_q(a, b):
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by quantized dot product for the given query vectors.
+
+    Plan: broadcast the (tiny) query side, one scan of the corpus,
+    per-query window top-k.  Output (qid, rank, vec_id, dot).
+    """
+    q = (
+        emb.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("qid"), quantized(vec_col).alias("qvec")
+        )
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), quantized(vec_col).alias("cvec"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    j = j.withColumn("dot", dot_q(F.col("cvec"), F.col("qvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "dot")
+    )
+
+
+def _rademacher_sketch(vec_col, n_planes: int):
+    """array<long> sign sketch: plane p = sign(sum_d r(p,d) * x_d) with
+    r in {-1,+1} from xxhash64(p, d) — deterministic, JVM-only."""
+    def plane_sign(p):
+        prods = F.transform(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            lambda x, i: x
+            * (
+                (F.shiftrightunsigned(F.xxhash64(F.lit(int(p)), i), 1) % 2) * 2 - 1
+            ).cast("double"),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return (s >= 0).cast("long")
+
+    return F.array(*[plane_sign(p) for p in range(n_planes)])
+
+
+def lsh_cosine_candidates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs (a_id, b_id) sharing at least one LSH band.
+
+    Bands of n_planes/n_bands sign bits; pairs are produced by a
+    self-equi-join on (band_idx, band_signature) — the scalable
+    replacement for the crossJoin.
+    """
+    rows = n_planes // n_bands
+    sk = emb.select(F.col(id_col).alias("id"), _rademacher_sketch(vec_col, n_planes).alias("sk"))
+    bands = sk.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.element_at("sk", b * rows + r + 1).cast("string") for r in range(rows)]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos_sq_num: int = 2500,
+    min_cos_sq_den: int = 10000,
+    use_lsh: bool = False,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pairs with cosine >= sqrt(num/den), verified EXACTLY in integers:
+    dot > 0 and dot^2 * den >= num * |a|^2 * |b|^2 (quantized vectors).
+
+    use_lsh=False does the full quadratic verify (exact baseline, fine at
+    oracle scale); use_lsh=True verifies only LSH candidates (scale path;
+    recall < 1 by design, controlled by n_planes/n_bands).
+    """
+    qv = emb.select(
+        F.col(id_col).alias("id"),
+        quantized(vec_col).alias("v"),
+    ).withColumn("n2", dot_q(F.col("v"), F.col("v")))
+    if use_lsh:
+        cand = lsh_cosine_candidates(
+            emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, n_bands=n_bands
+        )
+        a = qv.select(F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("n2").alias("na"))
+        b = qv.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+        j = cand.join(a, "a_id").join(b, "b_id")
+    else:
+        a = qv.select(F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("n2").alias("na"))
+        b = qv.select(F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("n2").alias("nb"))
+        j = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    dot = dot_q(F.col("va"), F.col("vb"))
+    j = j.withColumn("dot", dot)
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * F.lit(min_cos_sq_den)
+        >= F.lit(min_cos_sq_num) * F.col("na") * F.col("nb")
+    )
+    return j.filter(keep).select("a_id", "b_id", "dot")

@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` operators.  The actual codec call is
+STUBBED (no image/audio libraries in this container): ``decode_fn``
+defaults to a deterministic fake that derives pixel/sample statistics
+from the bytes — the Spark-side contract (schemas, batch iteration,
+partitioning, null handling) is real and tested, and a production
+deployment swaps in a real codec without touching the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synth_media_blobs(spans: DataFrame) -> DataFrame:
+    """Attach a deterministic fake payload + metadata to media spans.
+
+    blob = repeated md5 stream seeded by media_ref (pure Column ops);
+    metadata derived from the ref hash.  Stand-in for reading object
+    storage by media_ref at production scale.
+    """
+    media = spans.filter(F.col("kind") == "media")
+    seed = F.md5(F.col("media_ref"))
+    blob = F.to_binary(F.concat(seed, F.md5(F.concat(seed, F.lit("1"))), F.md5(F.concat(seed, F.lit("2")))), F.lit("hex"))
+    h = F.abs(F.xxhash64("media_ref"))
+    meta = F.struct(
+        F.when(h % 3 == 0, F.lit("image")).when(h % 3 == 1, F.lit("audio")).otherwise(F.lit("video")).alias("media_type"),
+        ((h % 1920) + 1).cast("int").alias("width"),
+        ((h % 1080) + 1).cast("int").alias("height"),
+        ((h % 60000) + 1).cast("int").alias("duration_ms"),
+    )
+    return media.withColumn("blob", blob).withColumn("meta", meta)
+
+
+def _fake_decode(blob: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in for a real codec: FEATURE_DIM floats from a
+    hash stream of the payload.  Replace with a real decoder in prod.
+
+    NOTE: a real implementation would raise NotImplementedError here if
+    the codec library is unavailable; the fake keeps tests hermetic.
+    """
+    d = hashlib.sha256(blob + media_type.encode()).digest()
+    arr = np.frombuffer((d * ((FEATURE_DIM * 4) // len(d) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (arr.astype(np.float64) / 2**32).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], np.ndarray] = _fake_decode,
+) -> DataFrame:
+    """mapInPandas feature extraction over (media_ref, blob, meta).
+
+    Batches stream through Arrow; the loop below is per-*batch* with a
+    per-row codec call — exactly the shape a real decoder needs (codecs
+    are inherently per-payload; the win is batched transfer + pipelined
+    partitions, not vectorized decode).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if b is None else decode_fn(bytes(b), mt)
+                for b, mt in zip(pdf["blob"], pdf["meta"].map(lambda m: m["media_type"]))
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+                    "n_bytes": pdf["blob"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_ref", "blob", "meta").mapInPandas(op, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    timestamp (decode stubbed — timestamps only, plus a frame key)."""
+    v = media.filter(F.col("meta.media_type") == "video")
+    ts = F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+    return v.select(
+        "media_ref",
+        F.posexplode(ts).alias("frame_idx", "ts_ms"),
+    ).withColumn("frame_key", F.concat(F.col("media_ref"), F.lit("#"), F.col("ts_ms")))
