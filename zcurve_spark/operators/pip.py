@@ -58,6 +58,44 @@ def _pip_kernel(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray
     return inside | on_edge
 
 
+def pip_refine_expr(x, y, edges) -> "F.Column":
+    """Exact inside-or-boundary test as a pure Column expression.
+
+    `edges` is an array<struct<ex,ey,fx,fy>> column; ray casting runs as a
+    JVM higher-order aggregate over <=12 edges per candidate — no Python,
+    no Arrow transfer.  Integer cross products are exact (coords < 2^20).
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+
+    def crossing(acc, e):
+        cond = (e.ey > y) != (e.fy > y)
+        lhs = (x - e.ex) * (e.fy - e.ey)
+        rhs = (e.fx - e.ex) * (y - e.ey)
+        strict = F.when(e.fy > e.ey, lhs < rhs).otherwise(lhs > rhs)
+        return acc + F.when(cond & strict, F.lit(1)).otherwise(F.lit(0))
+
+    def on_edge(acc, e):
+        cross = (e.fx - e.ex) * (y - e.ey) - (e.fy - e.ey) * (x - e.ex)
+        within = (
+            (x >= F.least(e.ex, e.fx)) & (x <= F.greatest(e.ex, e.fx))
+            & (y >= F.least(e.ey, e.fy)) & (y <= F.greatest(e.ey, e.fy))
+        )
+        return acc | ((cross == 0) & within)
+
+    n_cross = F.aggregate(edges, F.lit(0), crossing)
+    edge_hit = F.aggregate(edges, F.lit(False), on_edge)
+    return (n_cross % 2 == 1) | edge_hit
+
+
+def _edges_rows(p: dict) -> list[tuple[int, int, int, int]]:
+    vs = p["vertices"]
+    return [
+        (int(vs[j][0]), int(vs[j][1]), int(vs[(j + 1) % len(vs)][0]), int(vs[(j + 1) % len(vs)][1]))
+        for j in range(len(vs))
+    ]
+
+
 def pip_join(
     points: DataFrame,
     polygons: list[dict],
@@ -65,6 +103,7 @@ def pip_join(
     zkey_col: str = "zkey",
     bits: int = 20,
     max_tiles: int = 256,
+    method: str = "expr",
 ) -> DataFrame:
     """Join each point to every polygon containing it.
 
@@ -72,13 +111,14 @@ def pip_join(
     broadcastable — the dimension-table side of the join; points side is
     arbitrarily large).  Returns points columns + poly_id.
 
-    Plan: per cover-level group, broadcast (tile_id, poly_id) relation,
-    equi-join on the point's tile at that level, then refine with the
-    exact kernel.  Candidate count per point is bounded by the number of
-    polygons whose cover includes its tile.
+    Plan: per cover-level group, broadcast a (tile_id, poly_id, edges)
+    relation, equi-join on the point's tile at that level, then refine
+    exactly.  method='expr' (default) ray-casts with JVM array aggregates
+    (whole pipeline stays in the JVM); method='udf' uses the Arrow-batched
+    numpy kernel (reference implementation / cross-check).
     """
     spark = points.sparkSession
-    by_level: dict[int, list[tuple[int, int]]] = {}
+    by_level: dict[int, list[tuple[int, int, list]]] = {}
     vert_map: dict[int, list[list[int]]] = {}
     for p in polygons:
         vs = p["vertices"]
@@ -87,8 +127,9 @@ def pip_join(
         mins, maxs = (min(xs), min(ys)), (max(xs), max(ys))
         level = pick_cover_level(mins, maxs, bits=bits, max_tiles=max_tiles)
         tiles = covering_tiles(mins, maxs, level, bits=bits, max_tiles=4 * max_tiles)
+        edges = _edges_rows(p)
         by_level.setdefault(level, []).extend(
-            (int(t), int(p["poly_id"])) for t in tiles
+            (int(t), int(p["poly_id"]), edges) for t in tiles
         )
         vert_map[int(p["poly_id"])] = [[int(a), int(b)] for a, b in vs]
 
@@ -106,15 +147,21 @@ def pip_join(
             out[ii] = _pip_kernel(px[ii], py[ii], verts)
         return pd.Series(out)
 
+    cover_schema = (
+        "tile_id long, poly_id long, "
+        "edges array<struct<ex:long,ey:long,fx:long,fy:long>>"
+    )
     result = None
-    for level, pairs in sorted(by_level.items()):
-        cover = spark.createDataFrame(pairs, "tile_id long, poly_id long")
+    for level, rows in sorted(by_level.items()):
+        cover = spark.createDataFrame(rows, cover_schema)
         cand = points.withColumn(
             "_tile", tile_id_col(zkey_col, level, bits=bits)
         ).join(F.broadcast(cover), F.col("_tile") == F.col("tile_id"), "inner")
-        hits = cand.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y"))).drop(
-            "_tile", "tile_id"
-        )
+        if method == "expr":
+            hits = cand.filter(pip_refine_expr("x", "y", F.col("edges")))
+        else:
+            hits = cand.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y")))
+        hits = hits.drop("_tile", "tile_id", "edges")
         result = hits if result is None else result.unionByName(hits)
     return result
 

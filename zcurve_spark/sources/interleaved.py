@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.columns import tile_id_col, zkey2_col
+from ..util import fan_out
 
 BITS = 30  # quantization grid bits per dim; zkey < 2^60
 
@@ -41,7 +42,7 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring slice of the doc text; offsets strictly increase.
     All pure Column expressions — whole-stage codegen end to end.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     doc = F.col("doc_id")
     spans = F.expr(
         """

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.columns import zkey2_col, zkey3_col
+from ..util import fan_out
 
 DOMAIN = 1_000_000  # coords in [0, 10^6), matching gendata.awk
 BITS = 20  # 10^6 < 2^20
@@ -40,7 +41,7 @@ def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     zkey / zkey3 are computed with the pure-Column JVM kernels — the
     whole derivation stays inside whole-stage codegen.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     pts = li.selectExpr(
         f"{PID_SQL} AS pid", f"{X_SQL} AS x", f"{Y_SQL} AS y", f"{Z_SQL} AS z"
     )

@@ -1,0 +1,19 @@
+"""Shared plan utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the input has fewer partitions than cores.
+
+    A single small parquet file arrives as ONE partition, serializing all
+    map-side work (key encoding, shingling, signatures) onto one core.
+    At cluster scale inputs are many-filed and this is a no-op; the
+    operators shouldn't depend on input file layout for parallelism.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
