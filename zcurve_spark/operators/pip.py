@@ -88,6 +88,66 @@ def pip_refine_expr(x, y, edges) -> "F.Column":
     return (n_cross % 2 == 1) | edge_hit
 
 
+def _orient(ax, ay, bx, by, cx, cy) -> int:
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _seg_intersect(p1, p2, p3, p4) -> bool:
+    """Closed-segment intersection, exact integer arithmetic."""
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if ((d1 > 0) != (d2 > 0) or (d1 == 0) or (d2 == 0)) and (
+        (d3 > 0) != (d4 > 0) or (d3 == 0) or (d4 == 0)
+    ):
+        # conservative (collinear cases resolved by bbox overlap)
+        if max(p1[0], p2[0]) >= min(p3[0], p4[0]) and max(p3[0], p4[0]) >= min(p1[0], p2[0]) \
+           and max(p1[1], p2[1]) >= min(p3[1], p4[1]) and max(p3[1], p4[1]) >= min(p1[1], p2[1]):
+            return True
+    return False
+
+
+def _seg_rect_intersect(a, b, rx0, ry0, rx1, ry1) -> bool:
+    """Does segment a-b touch the closed rectangle?"""
+    if rx0 <= a[0] <= rx1 and ry0 <= a[1] <= ry1:
+        return True
+    if rx0 <= b[0] <= rx1 and ry0 <= b[1] <= ry1:
+        return True
+    corners = [(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)]
+    for i in range(4):
+        if _seg_intersect(a, b, corners[i], corners[(i + 1) % 4]):
+            return True
+    return False
+
+
+def classify_tile(tile: int, level: int, bits: int, verts) -> str:
+    """'interior' (whole tile inside polygon), 'boundary' (needs per-point
+    refinement), or 'outside'.
+
+    The per-point hot path only ever touches *boundary* tiles — work is
+    O(polygon perimeter / tile size), not O(area) — the tile analog of
+    the solid-interval fast path (sp_query.c:291-301)."""
+    import numpy as np
+
+    from ..plans.decompose import decode_point
+
+    shift = bits - level
+    tx, ty = decode_point(tile, 2, level)
+    x0, y0 = tx << shift, ty << shift
+    x1, y1 = x0 + (1 << shift) - 1, y0 + (1 << shift) - 1
+    m = len(verts)
+    for j in range(m):  # any polygon edge touching the tile -> boundary
+        if _seg_rect_intersect(tuple(verts[j]), tuple(verts[(j + 1) % m]), x0, y0, x1, y1):
+            return "boundary"
+    # no edge crosses: tile is uniformly inside or outside; test one corner
+    inside = _pip_kernel(
+        np.array([x0], np.int64), np.array([y0], np.int64), np.asarray(verts, np.int64)
+    )[0]
+    return "interior" if inside else "outside"
+
+
 def _edges_rows(p: dict) -> list[tuple[int, int, int, int]]:
     vs = p["vertices"]
     return [
@@ -118,7 +178,7 @@ def pip_join(
     numpy kernel (reference implementation / cross-check).
     """
     spark = points.sparkSession
-    by_level: dict[int, list[tuple[int, int, list]]] = {}
+    by_level: dict[int, list[tuple[int, int, list, bool]]] = {}
     vert_map: dict[int, list[list[int]]] = {}
     for p in polygons:
         vs = p["vertices"]
@@ -128,10 +188,15 @@ def pip_join(
         level = pick_cover_level(mins, maxs, bits=bits, max_tiles=max_tiles)
         tiles = covering_tiles(mins, maxs, level, bits=bits, max_tiles=4 * max_tiles)
         edges = _edges_rows(p)
-        by_level.setdefault(level, []).extend(
-            (int(t), int(p["poly_id"]), edges) for t in tiles
-        )
-        vert_map[int(p["poly_id"])] = [[int(a), int(b)] for a, b in vs]
+        verts = [[int(a), int(b)] for a, b in vs]
+        for t in tiles:
+            cls = classify_tile(int(t), level, bits, verts)
+            if cls == "outside":
+                continue  # pruned: no per-point work at all
+            by_level.setdefault(level, []).append(
+                (int(t), int(p["poly_id"]), edges, cls == "interior")
+            )
+        vert_map[int(p["poly_id"])] = verts
 
     bc_verts = spark.sparkContext.broadcast(vert_map)
 
@@ -149,7 +214,7 @@ def pip_join(
 
     cover_schema = (
         "tile_id long, poly_id long, "
-        "edges array<struct<ex:long,ey:long,fx:long,fy:long>>"
+        "edges array<struct<ex:long,ey:long,fx:long,fy:long>>, solid boolean"
     )
     result = None
     for level, rows in sorted(by_level.items()):
@@ -158,10 +223,12 @@ def pip_join(
             "_tile", tile_id_col(zkey_col, level, bits=bits)
         ).join(F.broadcast(cover), F.col("_tile") == F.col("tile_id"), "inner")
         if method == "expr":
-            hits = cand.filter(pip_refine_expr("x", "y", F.col("edges")))
+            refine = pip_refine_expr("x", "y", F.col("edges"))
         else:
-            hits = cand.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y")))
-        hits = hits.drop("_tile", "tile_id", "edges")
+            refine = pip_udf(F.col("poly_id"), F.col("x"), F.col("y"))
+        # interior (solid) tiles skip the refinement entirely
+        hits = cand.filter(F.col("solid") | refine)
+        hits = hits.drop("_tile", "tile_id", "edges", "solid")
         result = hits if result is None else result.unionByName(hits)
     return result
 

@@ -14,6 +14,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     operators shouldn't depend on input file layout for parallelism.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # prefer inputFiles(): df.rdd.getNumPartitions() can materialize query
+    # stages under AQE; file count is a job-free proxy for scan parallelism
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n == 0:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
