@@ -175,7 +175,7 @@ def main() -> None:
     run("pip", lambda: pip_join(pts, POLYGONS, bits=BITS).count())
 
     # --- minhash dedup ---
-    d = amplify_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"), mult)
+    d = amplify_docs(fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")), mult)
     run("minhash_dedup", lambda: minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count())
 
     # --- ANN top-k ---

@@ -300,6 +300,81 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_zkey_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode parity (bitkey.c:100-124): engine decodes its own keys back
+    to coords; oracle is simply the original coords."""
+    from .functions.columns import unzkey2_x_col, unzkey2_y_col
+
+    pts = points_from_lineitem(spark, sf_dir)
+    return pts.select(
+        "pid",
+        unzkey2_x_col("zkey").alias("x"),
+        unzkey2_y_col("zkey").alias("y"),
+    )
+
+
+def q_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert bijectivity as an oracle query: encode then decode must
+    reproduce the coords (the curve value itself is engine-specific, but
+    the roundtrip is oracle-checkable)."""
+    from .functions.udfs import hilbert2_udf, unhilbert2_udf
+
+    pts = points_from_lineitem(spark, sf_dir)
+    h = hilbert2_udf(20)(F.col("x"), F.col("y"))
+    dec = unhilbert2_udf(20)(h)
+    return pts.select("pid", dec.getField("x").alias("x"), dec.getField("y").alias("y"))
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest view at or
+    before it (inner semantics, matching DuckDB ASOF JOIN)."""
+    from .operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join(clicks, views, key="user_id", right_vals=("value",))
+    return j.filter(F.col("ts_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.floor(F.col("value_r") * 1000).cast("long").alias("view_v_milli"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap per user."""
+    from .operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_stats(ev, gap_seconds=1800).select(
+        "user_id", "session_idx", "n_events", "duration_sec"
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-SQL capability demo (the reference delegates general SQL to
+    PostgreSQL; we delegate to Spark SQL).  Money values quantized
+    per-row before aggregation so sums are order-independent ints."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               count(*) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # ----- rows-only queries (no SQL oracle; pytest-verified instead) -----
 
 
@@ -509,6 +584,50 @@ def _oracle_sql() -> dict[str, str]:
                   * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 4
                   >= a.n2 * b.n2
         """,
+        "zkey_decode": f"""
+            WITH {PTS_CTE} SELECT pid, x, y FROM pts
+        """,
+        "hilbert_roundtrip": f"""
+            WITH {PTS_CTE} SELECT pid, x, y FROM pts
+        """,
+        "events_asof": """
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+                   CAST(floor(v.value * 1000) AS BIGINT) AS view_v_milli
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              -- floor(epoch) per timestamp matches Spark's unix_timestamp
+              SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, es,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+              FROM g
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
@@ -562,6 +681,11 @@ def build_queries():
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "zkey_decode": q_zkey_decode,
+        "hilbert_roundtrip": q_hilbert_roundtrip,
+        "events_asof": q_events_asof,
+        "events_sessionize": q_events_sessionize,
+        "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         # rows-only (non-SQL-expressible or engine-specific hashes)
         "hilbert_encode": q_hilbert_encode,

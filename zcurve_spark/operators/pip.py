@@ -212,23 +212,33 @@ def pip_join(
             out[ii] = _pip_kernel(px[ii], py[ii], verts)
         return pd.Series(out)
 
-    cover_schema = (
-        "tile_id long, poly_id long, "
-        "edges array<struct<ex:long,ey:long,fx:long,fy:long>>, solid boolean"
+    # cover carries only (tile, poly, solid): interior-tile candidates —
+    # the bulk at scale — never materialize the edges array (measured:
+    # copying edges into every candidate row caused GC-bound anti-scaling
+    # at 512M points).  Boundary candidates join the tiny per-polygon
+    # edge relation separately.
+    cover_schema = "tile_id long, poly_id long, solid boolean"
+    edges_df = spark.createDataFrame(
+        [(int(p["poly_id"]), _edges_rows(p)) for p in polygons],
+        "poly_id long, edges array<struct<ex:long,ey:long,fx:long,fy:long>>",
     )
     result = None
     for level, rows in sorted(by_level.items()):
-        cover = spark.createDataFrame(rows, cover_schema)
+        cover = spark.createDataFrame([(t, pid, s) for t, pid, _e, s in rows], cover_schema)
         cand = points.withColumn(
             "_tile", tile_id_col(zkey_col, level, bits=bits)
         ).join(F.broadcast(cover), F.col("_tile") == F.col("tile_id"), "inner")
+        interior = cand.filter(F.col("solid")).drop("_tile", "tile_id", "solid")
+        boundary = cand.filter(~F.col("solid")).drop("_tile", "tile_id", "solid")
         if method == "expr":
-            refine = pip_refine_expr("x", "y", F.col("edges"))
+            boundary = (
+                boundary.join(F.broadcast(edges_df), "poly_id")
+                .filter(pip_refine_expr("x", "y", F.col("edges")))
+                .drop("edges")
+            )
         else:
-            refine = pip_udf(F.col("poly_id"), F.col("x"), F.col("y"))
-        # interior (solid) tiles skip the refinement entirely
-        hits = cand.filter(F.col("solid") | refine)
-        hits = hits.drop("_tile", "tile_id", "edges", "solid")
+            boundary = boundary.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y")))
+        hits = interior.unionByName(boundary.select(*interior.columns))
         result = hits if result is None else result.unionByName(hits)
     return result
 
