@@ -143,9 +143,17 @@ def run_at(cores: int) -> dict:
     return json.loads(line)["timings"]
 
 
+def _min_merge(a: dict, b: dict) -> dict:
+    return {k: min(a[k], b[k]) for k in a}
+
+
 def main() -> None:
+    # alternate core counts across passes so a noisy-neighbor burst on
+    # the shared host cannot bias one side; keep the min per query
     t8 = run_at(8)
     t32 = run_at(32)
+    t8 = _min_merge(t8, run_at(8))
+    t32 = _min_merge(t32, run_at(32))
     rows = []
     for q in t8:
         sp = t8[q] / t32[q] if t32[q] > 0 else float("nan")
