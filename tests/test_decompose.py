@@ -150,3 +150,44 @@ class TestTiles:
         shift2 = shift - 1
         n2 = ((999 >> shift2) + 1) ** 2
         assert n2 > 64
+
+
+class TestHilbertCovers:
+    """hilbert_covers vs brute force over the full grid at order 6:
+    exact under refinement at EVERY budget; solid intervals contain only
+    box keys; unlimited budget covers the box exactly with solid cells."""
+
+    def test_exact_at_every_budget(self):
+        import numpy as np
+
+        from zcurve_spark.functions.curvekey import hilbert2, unhilbert2
+        from zcurve_spark.plans.decompose import _unhilbert2_scalar, hilbert_covers
+
+        order = 6
+        n = 1 << order
+        ds = np.arange(4**order, dtype=np.uint64)
+        X, Y = unhilbert2(ds, order=order)
+        for d in [0, 1, 7, 100, 4**order - 1]:
+            assert _unhilbert2_scalar(d, order) == (int(X[d]), int(Y[d]))
+
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        xs, ys = xs.ravel().astype(np.uint64), ys.ravel().astype(np.uint64)
+        hk = hilbert2(xs, ys, order=order)
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            x0, x1 = sorted(rng.integers(0, n, 2).tolist())
+            y0, y1 = sorted(rng.integers(0, n, 2).tolist())
+            in_box = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+            expect = set(hk[in_box].tolist())
+            for budget in (1, 4, 32, 10**9):
+                ivs = hilbert_covers((x0, y0), (x1, y1), order=order, budget=budget)
+                cand = np.zeros_like(in_box)
+                for iv in ivs:
+                    cand |= (hk >= iv.lo) & (hk <= iv.hi)
+                assert set(hk[cand & in_box].tolist()) == expect
+                for iv in ivs:
+                    if iv.solid:
+                        assert in_box[(hk >= iv.lo) & (hk <= iv.hi)].all()
+            ivs = hilbert_covers((x0, y0), (x1, y1), order=order, budget=10**9)
+            assert all(iv.solid for iv in ivs)
+            assert sum(iv.hi - iv.lo + 1 for iv in ivs) == len(expect)

@@ -112,3 +112,87 @@ class TestSimhash:
         near = {(i, i + 20_000) for i in range(20)}
         # one appended token flips few simhash bits; most near pairs found
         assert len(found & near) >= 15
+
+
+class TestSimhashBandingGuarantee:
+    def test_bands_for_derivation(self):
+        from zcurve_spark.operators.dedup import simhash_bands_for
+
+        # smallest divisor of 48 strictly greater than the radius
+        assert simhash_bands_for(0) == 1
+        assert simhash_bands_for(3) == 4
+        assert simhash_bands_for(6) == 8
+        assert simhash_bands_for(10) == 12
+        assert simhash_bands_for(15) == 16
+        for h in range(0, 47):
+            nb = simhash_bands_for(h)
+            assert 48 % nb == 0 and nb > h
+
+    def test_insufficient_bands_rejected(self, docs):
+        with pytest.raises(ValueError):
+            simhash_neardup_pairs(docs, max_hamming=10, n_bands=4)
+
+    def test_recall_is_complete_at_radius(self, spark, docs_with_dups):
+        """The shipped contract: EVERY pair with hamming <= max_hamming is
+        returned, however its differing bits spread across bands (the
+        round-1 defect: 4 bands silently dropped spreads of 4..10)."""
+        from zcurve_spark.operators.dedup import simhash_col
+
+        max_h = 10
+        fp = {
+            r.id: r.sh
+            for r in docs_with_dups.select(
+                F.col("doc_id").alias("id"), simhash_col("text").alias("sh")
+            ).collect()
+        }
+        ids = sorted(fp)
+        expect = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if bin(fp[ids[i]] ^ fp[ids[j]]).count("1") <= max_h:
+                    expect.add((ids[i], ids[j]))
+        got = simhash_neardup_pairs(docs_with_dups, max_hamming=max_h).toPandas()
+        got_pairs = set(map(tuple, got[["a_id", "b_id"]].values.tolist()))
+        assert got_pairs == expect
+
+
+class TestMinhashShortDocs:
+    def test_empty_gram_docs_never_pair(self, spark):
+        """Docs with < n tokens have no shingles; they must not collide
+        via the sentinel signature (round-1 ADVICE: quadratic skew bucket
+        + false positives with verification off)."""
+        rows = [(i, "one two") for i in range(40)] + [
+            (100, "a proper document with enough tokens to shingle fine"),
+            (101, "a proper document with enough tokens to shingle fine"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(d, verify_min_jaccard_milli=None).toPandas()
+        got = set(map(tuple, pairs[["a_id", "b_id"]].values.tolist()))
+        assert (100, 101) in got
+        assert all(a >= 100 and b >= 100 for a, b in got), got
+
+
+class TestMinhashCheckpoint:
+    def test_resume_skips_signature_stage(self, spark, docs, tmp_path):
+        """checkpoint=(StageRunner, fp): second run with the same
+        fingerprint must reuse the materialized signature stage."""
+        import os
+
+        from zcurve_spark.sources.manifest import StageRunner, load_manifest
+
+        sr = StageRunner(spark, str(tmp_path / "dedup_stages"))
+        p1 = minhash_lsh_pairs(
+            docs, verify_min_jaccard_milli=100, checkpoint=(sr, "fp-a")
+        ).count()
+        mpath = os.path.join(sr.stage_path("minhash_signatures"), "_zcurve_manifest.json")
+        t1 = os.path.getmtime(mpath)
+        m1 = load_manifest(sr.stage_path("minhash_signatures"))
+        assert m1["total_rows"] > 0
+        p2 = minhash_lsh_pairs(
+            docs, verify_min_jaccard_milli=100, checkpoint=(sr, "fp-a")
+        ).count()
+        assert p2 == p1
+        assert os.path.getmtime(mpath) == t1  # stage not rebuilt
+        # changed fingerprint -> stage rebuilt
+        minhash_lsh_pairs(docs, verify_min_jaccard_milli=100, checkpoint=(sr, "fp-b")).count()
+        assert os.path.getmtime(mpath) > t1

@@ -87,3 +87,31 @@ def test_stage_runner_resume(spark, tmp_path):
     assert df2.count() == n1
     sr.run("pts", "fp-v2", build)  # changed input -> recompute
     assert calls["n"] == 2
+
+
+def test_bbox_lookup_pruned_equals_fullscan(spark, sorted_path):
+    """The flagship claim: the pruned-storage query path returns exactly
+    the full-scan result (VERDICT r1 #1)."""
+    from zcurve_spark.operators.bbox import bbox_lookup, bbox_lookup_pruned
+
+    box = ((100_000, 100_000), (220_000, 330_000))
+    full = bbox_lookup(
+        spark.read.parquet(sorted_path), box[0], box[1], bits=BITS
+    ).collect()
+    pruned = bbox_lookup_pruned(spark, sorted_path, box[0], box[1], bits=BITS).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+    assert len(full) > 0
+
+
+def test_knn_store_path_matches_inmemory(spark, sorted_path):
+    """knn(store_path=...) must return the same top-k as the in-memory
+    scan path, while reading only manifest-pruned files per round."""
+    from zcurve_spark.operators.knn import knn
+    from zcurve_spark.sources.points import DOMAIN
+
+    qs = [{"qid": i, "qx": 100_000 + i * 311_111, "qy": 50_000 + i * 271_111, "k": 4} for i in range(3)]
+    pts = points_from_lineitem(spark, SF_DIR)
+    a = knn(pts, qs, bits=BITS, domain=DOMAIN).collect()
+    b = knn(None, qs, bits=BITS, domain=DOMAIN, store_path=sorted_path, spark=spark).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == sum(q["k"] for q in qs)

@@ -87,3 +87,40 @@ def test_lsh_verified_subset_of_exact(emb, mats):
     lp = set(map(tuple, got_lsh[["a_id", "b_id"]].values.tolist()))
     ep = set(map(tuple, got_exact[["a_id", "b_id"]].values.tolist()))
     assert lp <= ep  # verification removes all false positives
+
+
+def test_lsh_default_params_find_exact_pairs(emb):
+    """Round-1 defect: the shipped query used untested defaults (4-band)
+    and returned 0 of 1 true pair.  Defaults now match the tested config;
+    the near-dup pair set found by the exact path must be recovered."""
+    got_lsh = cosine_neardup_pairs(emb, use_lsh=True).toPandas()
+    got_exact = cosine_neardup_pairs(emb).toPandas()
+    lp = set(map(tuple, got_lsh[["a_id", "b_id"]].values.tolist()))
+    ep = set(map(tuple, got_exact[["a_id", "b_id"]].values.tolist()))
+    assert lp <= ep
+    if ep:
+        recall = len(lp & ep) / len(ep)
+        assert recall >= 0.8, f"default-param LSH recall {recall} on {len(ep)} pairs"
+
+
+def test_lsh_recall_sf01_strong_pairs(spark):
+    """Recall >= 0.8 on strong (cos >= 0.8) pairs at sf0.1 — the scale the
+    driver benches at, not just the tiny sf0.001 fixture."""
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pdf = e.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    Q = np.floor(M * 100).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1).astype(np.float64)
+    G = (Q @ Q.T).astype(np.float64)
+    cos = G / np.sqrt(np.outer(n2, n2))
+    iu = np.triu_indices(len(ids), k=1)
+    strong_idx = [(i, j) for i, j in zip(*iu) if cos[i, j] >= 0.8]
+    strong = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in strong_idx
+    }
+    cand = lsh_cosine_candidates(e).toPandas()
+    cand_pairs = set(map(tuple, cand[["a_id", "b_id"]].values.tolist()))
+    if strong:
+        recall = len(strong & cand_pairs) / len(strong)
+        assert recall >= 0.8, f"LSH recall {recall} on {len(strong)} strong pairs at sf0.1"

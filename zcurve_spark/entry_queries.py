@@ -106,6 +106,12 @@ def _mk_boxes():
 BBOX_BOXES = _mk_boxes()
 BBOX_SINGLE = {"mins": (150_000, 420_000), "maxs": (390_000, 600_000)}
 BBOX_SINGLE_3D = {"mins": (100_000, 200_000, 300_000), "maxs": (420_000, 540_000, 660_000)}
+# full-width 32-bit/dim box for the 96-bit numeric-key lookup
+# (unaligned corners on purpose — the reference's solidity bug class)
+BBOX_FULL3D = {
+    "mins": (1 << 30, (1 << 31) + 12345, 3 << 28),
+    "maxs": ((3 << 30) + 777, (3 << 30) + 54321, (3 << 30) - 1),
+}
 
 KNN_QUERIES = [
     {"qid": i, "qx": (i * 137_777 + 50_000) % DOMAIN, "qy": (i * 733_333 + 90_000) % DOMAIN, "k": 5}
@@ -167,6 +173,20 @@ def q_bbox_rows_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_rows_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same row set as bbox_rows, but read through the materialized
+    zkey-sorted store: manifest file pruning (sp_tree.c:266-354's B-tree
+    descent) + pushed BETWEEN row-group pruning.  Shares bbox_rows'
+    oracle — pruned == unpruned is exactly the correctness claim."""
+    from .operators.bbox import bbox_lookup_pruned
+    from .sources.store import points_store
+
+    path = points_store(spark, sf_dir)
+    return bbox_lookup_pruned(
+        spark, path, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], bits=BITS
+    )
+
+
 def q_bbox_rows_tidonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zcurve_2d_lookup_tidonly parity (zcurve.c:186-262): same row set,
     curve order, no sort — the driver's hash is order-insensitive so the
@@ -174,6 +194,88 @@ def q_bbox_rows_tidonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_lineitem(spark, sf_dir)
     return bbox_lookup(
         pts, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], bits=BITS, sort_by_id=False
+    )
+
+
+def q_bbox_rows_3d_tidonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zcurve_3d_lookup_tidonly parity (zcurve.c:511-528): 3D row set in
+    curve order, no TID sort."""
+    pts = points_from_lineitem(spark, sf_dir)
+    return bbox_lookup(
+        pts,
+        BBOX_SINGLE_3D["mins"],
+        BBOX_SINGLE_3D["maxs"],
+        zkey_col="zkey3",
+        coord_cols=("x", "y", "z"),
+        bits=BITS,
+        sort_by_id=False,
+    )
+
+
+def _full3d_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udfs import zkey3_full_udf
+    from .util import fan_out
+
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    pts = li.selectExpr(
+        f"{PID_SQL_REF} AS pid", f"{XB_SQL} AS xb", f"{YB_SQL} AS yb", f"{ZB_SQL} AS zb"
+    )
+    return pts.withColumn(
+        "k3", zkey3_full_udf(F.col("xb"), F.col("yb"), F.col("zb"))
+    )
+
+
+def q_bbox_rows_3d_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zcurve_3d_lookup over the FULL-WIDTH 96-bit numeric key
+    (zcurve.c:377-493 + bitkey.c:371-382): decompose the 32-bit/dim box
+    with pure-int LITMAX/BIGMIN (bits=32, ndims=3), filter the
+    Decimal(38,0) key column with BETWEEN over Decimal literals, then
+    exact per-dim refinement — the same operator shape as the int64
+    paths, demonstrated at full key width."""
+    from decimal import Decimal
+
+    from .operators.bbox import box_refine_predicate
+    from .plans.decompose import coalesce_intervals, decompose_box
+
+    pts = _full3d_points(spark, sf_dir)
+    ivs = decompose_box(BBOX_FULL3D["mins"], BBOX_FULL3D["maxs"], bits=32, budget=64)
+    ivs = coalesce_intervals(ivs, max_intervals=16)
+    pred = F.lit(False)
+    for iv in ivs:
+        pred = pred | F.col("k3").between(F.lit(Decimal(iv.lo)), F.lit(Decimal(iv.hi)))
+    hits = pts.filter(pred).filter(
+        box_refine_predicate(["xb", "yb", "zb"], BBOX_FULL3D["mins"], BBOX_FULL3D["maxs"])
+    )
+    return hits.select("pid", "xb", "yb", "zb").orderBy("pid")
+
+
+def q_zkey3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """96-bit decode parity (bitkey.c:419-457): encode the full-width key,
+    decode it back; the oracle is simply the original coords."""
+    from .functions.udfs import unzkey3_full_udf
+
+    pts = _full3d_points(spark, sf_dir)
+    dec = unzkey3_full_udf(F.col("k3"))
+    return pts.select(
+        "pid",
+        dec.getField("x").alias("xb"),
+        dec.getField("y").alias("yb"),
+        dec.getField("z").alias("zb"),
+    )
+
+
+def q_bbox_rows_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range lookup over the HILBERT key (the north star's second curve):
+    hilbert_covers interval decomposition + refinement.  Same oracle as
+    the Z-key lookup — the curve must not change the answer."""
+    from .functions.udfs import hilbert2_udf
+    from .operators.bbox import bbox_lookup_hilbert
+
+    pts = points_from_lineitem(spark, sf_dir).withColumn(
+        "hkey", hilbert2_udf(BITS)(F.col("x"), F.col("y"))
+    )
+    return bbox_lookup_hilbert(
+        pts, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], order=BITS
     )
 
 
@@ -217,10 +319,15 @@ def q_tile_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = points_from_lineitem(spark, sf_dir)
-    return knn(pts, KNN_QUERIES, bits=BITS, domain=DOMAIN).select(
-        "qid", "rank", "pid", "x", "y", "d2"
-    )
+    """kNN over the materialized store: per-round candidate scans read
+    only manifest-pruned files; the row-count hint comes from the
+    manifest (no count() fallback — VERDICT #4)."""
+    from .sources.store import points_store
+
+    path = points_store(spark, sf_dir)
+    return knn(
+        None, KNN_QUERIES, bits=BITS, domain=DOMAIN, store_path=path, spark=spark
+    ).select("qid", "rank", "pid", "x", "y", "d2")
 
 
 def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,6 +482,44 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed tile counts promoted into the oracle
+    gate: the SAME watermarked window+tile aggregation the streaming
+    layer ships (streaming/tiles.py), driven availableNow over the
+    events table and landed in a memory sink.  Complete output mode
+    makes the emitted set independent of watermark progression (append
+    mode emits only closed windows — that behavior is pytest-covered in
+    tests/test_streaming.py), so stream == batch SQL exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.tiles import streaming_tile_counts
+
+    d = tempfile.mkdtemp(prefix="zstream_oracle_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = streaming_tile_counts(stream, level=6)
+    qname = f"stream_tc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "tile_id",
+        "n_events",
+        "v_milli",
+    )
+
+
 # ----- rows-only queries (no SQL oracle; pytest-verified instead) -----
 
 
@@ -434,6 +579,12 @@ def _oracle_sql() -> dict[str, str]:
             WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
               AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
         """,
+        "bbox_rows_pruned": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
+        """,
         "bbox_rows_tidonly": f"""
             WITH {PTS_CTE}
             SELECT pid, x, y FROM pts
@@ -446,6 +597,33 @@ def _oracle_sql() -> dict[str, str]:
             WHERE x BETWEEN {b3['mins'][0]} AND {b3['maxs'][0]}
               AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
               AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
+        """,
+        "bbox_rows_3d_tidonly": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y, z FROM pts
+            WHERE x BETWEEN {b3['mins'][0]} AND {b3['maxs'][0]}
+              AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
+              AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
+        """,
+        "bbox_rows_3d_full": f"""
+            WITH pts AS (
+              SELECT {PID_SQL_REF} AS pid, {XB_SQL} AS xb, {YB_SQL} AS yb, {ZB_SQL} AS zb
+              FROM lineitem
+            )
+            SELECT pid, xb, yb, zb FROM pts
+            WHERE xb BETWEEN {BBOX_FULL3D['mins'][0]} AND {BBOX_FULL3D['maxs'][0]}
+              AND yb BETWEEN {BBOX_FULL3D['mins'][1]} AND {BBOX_FULL3D['maxs'][1]}
+              AND zb BETWEEN {BBOX_FULL3D['mins'][2]} AND {BBOX_FULL3D['maxs'][2]}
+        """,
+        "zkey3_decode": f"""
+            SELECT {PID_SQL_REF} AS pid, {XB_SQL} AS xb, {YB_SQL} AS yb, {ZB_SQL} AS zb
+            FROM lineitem
+        """,
+        "bbox_rows_hilbert": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
         """,
         "zkey_encode": f"""
             WITH {PTS_CTE}
@@ -628,11 +806,27 @@ def _oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "streaming_tile_counts": f"""
+            WITH g AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     ((event_id * 2654435761 + user_id * 97 + 12345) % 1048576) AS x,
+                     ((event_id * 1013904223 + user_id * 31 + 54321) % 1048576) AS y,
+                     value
+              FROM events
+            )
+            SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   ({zkey_sql('x', 'y')} >> 28) AS tile_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+            FROM g GROUP BY 1, 2
+        """,
         "events_hourly": """
+            -- outer CAST: DuckDB's sum(BIGINT) yields HUGEINT, which the
+            -- pandas bridge degrades to float64 (hash-mismatch vs Spark)
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 1000) AS BIGINT)) AS v_milli
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
             FROM events GROUP BY 1, 2
         """,
     }
@@ -666,8 +860,13 @@ def build_queries():
     return {
         "bbox_count": q_bbox_count,
         "bbox_rows": q_bbox_rows,
+        "bbox_rows_pruned": q_bbox_rows_pruned,
         "bbox_rows_tidonly": q_bbox_rows_tidonly,
         "bbox_rows_3d": q_bbox_rows_3d,
+        "bbox_rows_3d_tidonly": q_bbox_rows_3d_tidonly,
+        "bbox_rows_3d_full": q_bbox_rows_3d_full,
+        "zkey3_decode": q_zkey3_decode,
+        "bbox_rows_hilbert": q_bbox_rows_hilbert,
         "zkey_encode": q_zkey_encode,
         "zkey3_decimal": q_zkey3_decimal,
         "tile_counts": q_tile_counts,
@@ -687,6 +886,7 @@ def build_queries():
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
+        "streaming_tile_counts": q_streaming_tile_counts,
         # rows-only (non-SQL-expressible or engine-specific hashes)
         "hilbert_encode": q_hilbert_encode,
         "minhash_pairs": q_minhash_pairs,

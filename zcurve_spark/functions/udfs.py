@@ -54,3 +54,27 @@ def zkey3_full_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
     # exact int math first, then Decimal(int): Decimal *arithmetic* would
     # round to the context's 28 significant digits (96-bit keys have 29)
     return pd.Series([Decimal((int(h) << 63) | int(l)) for h, l in zip(high, low)])
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("z", T.LongType()),
+]))
+def unzkey3_full_udf(k: pd.Series) -> pd.DataFrame:
+    """Decode the 96-bit Decimal(38,0) 3D key back to 32-bit coords
+    (bitkey.c:419-457).  Arrow delivers decimal128 values as Python
+    Decimal objects, so the word split is a per-batch object pass; the
+    bit-gather itself is vectorized numpy over the two uint64 words
+    (inverse of zkey3_full_udf's packing: hi*2^63 | lo)."""
+    ints = [int(v) for v in k]
+    lo = np.array([a & ((1 << 63) - 1) for a in ints], dtype=np.uint64)
+    hi = np.array([a >> 63 for a in ints], dtype=np.uint64)
+    xl, yl, zl = ck.unzkey3(lo)
+    xh, yh, zh = ck.unzkey3(hi)
+    s = np.uint64(21)
+    return pd.DataFrame({
+        "x": (xl | (xh << s)).astype(np.int64),
+        "y": (yl | (yh << s)).astype(np.int64),
+        "z": (zl | (zh << s)).astype(np.int64),
+    })

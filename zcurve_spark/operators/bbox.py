@@ -44,6 +44,27 @@ def box_refine_predicate(cols: list[str], mins, maxs) -> Column:
     return pred
 
 
+def interval_buckets(intervals, max_buckets: int = 1024) -> tuple[list[int], int]:
+    """(bucket ids, shift) covering `intervals` with <= max_buckets
+    prefix buckets.  The coarsest interval picks the starting shift;
+    widen until the bucket count fits."""
+    if not intervals:
+        return [], 0
+    spans = sorted(iv.hi - iv.lo + 1 for iv in intervals)
+    shift = max(1, spans[len(spans) // 2].bit_length())
+    while True:
+        buckets = set()
+        for iv in intervals:
+            lo_b, hi_b = iv.lo >> shift, iv.hi >> shift
+            if len(buckets) + (hi_b - lo_b + 1) > max_buckets:
+                buckets = None
+                break
+            buckets.update(range(lo_b, hi_b + 1))
+        if buckets is not None:
+            return sorted(buckets), shift
+        shift += 2
+
+
 def bbox_lookup(
     points: DataFrame,
     mins,
@@ -63,15 +84,98 @@ def bbox_lookup(
     when sort_by_id (zcurve.c:331-333's TID sort), else natural order
     (the *_tidonly variants, zcurve.c:186-262).
 
-    The decomposition is coalesced to <= max_predicates BETWEEN terms:
-    long OR-chains stall Catalyst's optimizer, and refinement keeps any
-    coalescing exact (SURVEY.md §2.3 — budget-independent correctness).
+    Candidate pruning is ONE `zkey >> shift IN (buckets)` hash-set probe
+    over prefix buckets of the decomposed intervals: an OR-of-BETWEEN on
+    a *computed* key column duplicates the key expression tree per term
+    (measured: 24 terms -> 10k-line generated method -> janino bails out
+    to the interpreter).  One shift + InSet keeps the whole filter in
+    codegen; exactness comes from the per-dim refinement regardless of
+    bucket granularity.  (The stored-layout path, bbox_lookup_pruned,
+    keeps OR-of-BETWEEN: there zkey is a plain column — no duplication —
+    and the BETWEENs push down to parquet row groups.)
     """
     intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
-    intervals = coalesce_intervals(intervals, max_intervals=max_predicates)
     if not intervals:
         return points.select(id_col, *coord_cols).limit(0)
-    cand = points.filter(interval_filter(zkey_col, intervals))
+    buckets, shift = interval_buckets(intervals)
+    k = _as_long(points, zkey_col)
+    cand = points.filter(F.shiftrightunsigned(k, shift).isin(buckets))
+    hits = cand.filter(box_refine_predicate(list(coord_cols), mins, maxs))
+    out = hits.select(id_col, *coord_cols)
+    return out.orderBy(id_col) if sort_by_id else out
+
+
+def _as_long(points: DataFrame, zkey_col: str):
+    return F.col(zkey_col).cast("long")
+
+
+def bbox_lookup_hilbert(
+    points: DataFrame,
+    mins,
+    maxs,
+    *,
+    hkey_col: str = "hkey",
+    coord_cols: tuple[str, ...] = ("x", "y"),
+    id_col: str = "pid",
+    order: int = 30,
+    budget: int = 128,
+    sort_by_id: bool = True,
+) -> DataFrame:
+    """Exact box lookup over a HILBERT-keyed layout: quadrant-recursive
+    interval cover (plans.decompose.hilbert_covers — the Hilbert analog
+    of the reference's LITMAX/BIGMIN split loop, sp_query.c:324-356),
+    bucket-IN pruning, exact per-dim refinement.  Same result contract
+    as bbox_lookup; only the curve (and therefore the pruned key ranges)
+    differs."""
+    from ..plans.decompose import hilbert_covers
+
+    intervals = hilbert_covers(tuple(mins), tuple(maxs), order=order, budget=budget)
+    if not intervals:
+        return points.select(id_col, *coord_cols).limit(0)
+    buckets, shift = interval_buckets(intervals)
+    k = _as_long(points, hkey_col)
+    cand = points.filter(F.shiftrightunsigned(k, shift).isin(buckets))
+    hits = cand.filter(box_refine_predicate(list(coord_cols), mins, maxs))
+    out = hits.select(id_col, *coord_cols)
+    return out.orderBy(id_col) if sort_by_id else out
+
+
+def bbox_lookup_pruned(
+    spark,
+    store_path: str,
+    mins,
+    maxs,
+    *,
+    zkey_col: str = "zkey",
+    coord_cols: tuple[str, ...] = ("x", "y"),
+    id_col: str = "pid",
+    bits: int = 30,
+    budget: int = 128,
+    max_predicates: int = 24,
+    sort_by_id: bool = True,
+) -> DataFrame:
+    """:func:`bbox_lookup` over the materialized zkey-sorted store: the
+    manifest prunes FILES before the scan even starts (the B-tree descent,
+    sp_tree.c:266-354), then a handful of coalesced BETWEENs prune row
+    groups inside the surviving files (pushed to parquet — the in-page
+    binsearch, sp_tree.c:164-237), and the fine-grained bucket-IN runs in
+    codegen.  Only a FEW BETWEENs are pushed: Catalyst's optimizer cost
+    grows steeply with OR-chain length (~1s at 16 terms, measured), which
+    at 8 lookups/batch was slower than the scan it saved.  Result set is
+    identical to the full-scan path — the bbox_rows_pruned oracle entry
+    asserts exactly that."""
+    from ..sources.manifest import read_pruned
+
+    intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
+    pts = read_pruned(spark, store_path, intervals)
+    if not intervals:
+        return pts.select(id_col, *coord_cols).limit(0)
+    pushed = coalesce_intervals(intervals, max_intervals=min(max_predicates, 6))
+    buckets, shift = interval_buckets(intervals)
+    k = F.col(zkey_col)
+    cand = pts.filter(interval_filter(zkey_col, pushed)).filter(
+        F.shiftrightunsigned(k, shift).isin(buckets)
+    )
     hits = cand.filter(box_refine_predicate(list(coord_cols), mins, maxs))
     out = hits.select(id_col, *coord_cols)
     return out.orderBy(id_col) if sort_by_id else out
@@ -123,9 +227,12 @@ def bucketed_intervals_df(
         for iv in ivs:
             for bucket in range(iv.lo >> bucket_shift, (iv.hi >> bucket_shift) + 1):
                 rows.append((int(b["qid"]), iv.lo, iv.hi, iv.solid, bucket))
-    df = spark.createDataFrame(
-        rows, "qid long, lo long, hi long, solid boolean, bucket long"
-    )
+    # Arrow path (pandas) — plain-list createDataFrame serializes row by
+    # row through Py4J, a measurable driver cost at 10^3-10^4 intervals
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["qid", "lo", "hi", "solid", "bucket"])
+    df = spark.createDataFrame(pdf, "qid long, lo long, hi long, solid boolean, bucket long")
     return df, bucket_shift
 
 

@@ -98,15 +98,21 @@ def minhash_signature(grams_col, n_hashes: int = 32):
     # n_hashes times would re-run xxhash64 over every shingle each time.
     # Instead: ONE aggregate pass — hash each shingle once, update all
     # n_hashes running minima via zip_with.
-    a_consts = [2 * i + 1 for i in range(n_hashes)]
-    b_consts = [0x9E3779B9 * (i + 1) & ((1 << 30) - 1) for i in range(n_hashes)]
+    a_consts = F.lit([2 * i + 1 for i in range(n_hashes)])
+    b_consts = F.lit([0x9E3779B9 * (i + 1) & ((1 << 30) - 1) for i in range(n_hashes)])
     init = F.array_repeat(F.lit(MERSENNE).cast("long"), n_hashes)
     # hash once per shingle; inside the aggregate, h is a *bound lambda
-    # variable* (a value), so the 32 references below don't re-hash
+    # variable* (a value), so the n_hashes references don't re-hash.
     hashes = F.transform(g, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
 
+    # The permutation sweep iterates a LITERAL-ARRAY transform instead of
+    # an unrolled F.array(*[...32 exprs...]): the expression tree shrinks
+    # ~n_hashes-fold, which cuts Catalyst's single-threaded analysis of
+    # this plan from seconds to milliseconds — that serial driver cost was
+    # the scaling bottleneck of the whole dedup pipeline (BENCH_SCALING
+    # r1: minhash efficiency 0.27, latency-floor bound).
     def step(acc, h):
-        perms = F.array(*[(h * a + b) % MERSENNE for a, b in zip(a_consts, b_consts)])
+        perms = F.zip_with(a_consts, b_consts, lambda a, b: (h * a + b) % MERSENNE)
         return F.zip_with(acc, perms, lambda u, v: F.least(u, v))
 
     sig = F.aggregate(hashes, init, step)
@@ -122,6 +128,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     verify_min_jaccard_milli: int | None = 500,
+    checkpoint=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
 
@@ -129,16 +136,39 @@ def minhash_lsh_pairs(
     (band, signature) -> optional exact-Jaccard verification of the
     candidates only.  Every stage is a narrow map except the band join.
     Output (a_id, b_id[, jac_milli]).
+
+    ``checkpoint=(StageRunner, fingerprint)`` materializes the signature
+    table as a resumable StageRunner stage (id-sorted parquet + manifest
+    with lineage): a re-run with the same input fingerprint skips the
+    whole shingle+signature pass — the north rule's "any stage is
+    resumable" applied to the dedup pipeline.  Without it the signature
+    relation is persist()ed (it feeds three plan branches: bands + both
+    verify sides).
     """
     rows = n_hashes // n_bands
-    g = fan_out(docs).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
-    ).withColumn("sig", minhash_signature("grams", n_hashes))
-    # consumed by three plan branches (bands + both verify sides): persist
-    # or the shingling+signature pass runs three times.  At cluster scale
-    # this is the natural StageRunner checkpoint instead.
-    g = g.persist()
+    # Docs with no shingles (< n tokens) are dropped up front: their
+    # Jaccard to anything is 0/undefined, and the sentinel signature
+    # would otherwise put ALL of them into one giant band bucket
+    # (quadratic skew at 10^12 docs, plus false-positive pairs when
+    # verification is off).
+    def build_signatures() -> DataFrame:
+        return fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+        ).filter(F.size("grams") > 0).withColumn(
+            "sig", minhash_signature("grams", n_hashes)
+        )
+
+    if checkpoint is not None:
+        sr, fp = checkpoint
+        g = sr.run(
+            "minhash_signatures",
+            f"{fp}:n={n}:h={n_hashes}",
+            build_signatures,
+            zkey_col="id",
+        )
+    else:
+        g = build_signatures().persist()
     # band relation carries only (id, band, bh): the gram arrays would
     # otherwise be replicated n_bands times through the shuffle
     bands = g.select(
@@ -195,28 +225,37 @@ def simhash_col(text_col, bits: int = SIMHASH_BITS):
     tokens = F.split(c, " ")
     # hash each token ONCE (HOFs are interpreted — per-bit re-hashing
     # would cost `bits` string hashes per token); h is a bound lambda
-    # variable below, so the per-bit mask tests just read it
+    # variable below, so the per-bit mask tests just read it.  The
+    # per-bit sweep iterates a literal weight array rather than `bits`
+    # unrolled exprs — same planning-cost rationale as minhash_signature.
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    weights = F.lit([1 << j for j in range(bits)])
 
     def step(acc, h):
-        pm = F.array(
-            *[
-                F.when(h.bitwiseAND(F.lit(1 << j).cast("long")) != 0, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for j in range(bits)
-            ]
+        pm = F.transform(
+            weights,
+            lambda w: F.when(h.bitwiseAND(w) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
         )
         return F.zip_with(acc, pm, lambda u, v: u + v)
 
     sums = F.aggregate(hashes, zeros, step)
-    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     return F.aggregate(
         F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash_bands_for(max_hamming: int, bits: int = SIMHASH_BITS) -> int:
+    """Smallest band count dividing `bits` that makes pigeonhole banding
+    COMPLETE for radius max_hamming: with n_bands bands, a pair with
+    hamming <= max_hamming shares at least one exact band iff
+    max_hamming < n_bands (pigeonhole over the differing bits)."""
+    for n in range(max_hamming + 1, bits + 1):
+        if bits % n == 0:
+            return n
+    return bits
 
 
 def simhash_neardup_pairs(
@@ -225,17 +264,27 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Pigeonhole banding: if hamming <= max_hamming and we split the
-    fingerprint into n_bands > max_hamming/ (bits/band) ... practically:
-    with n_bands bands, any pair within distance < n_bands shares at
-    least one exact band -> equi-join on (band, band_bits), verify
-    hamming on candidates.  Output (a_id, b_id, hamming).
+    Pigeonhole banding: with n_bands bands, any pair within hamming
+    distance < n_bands shares at least one exact band (its <= max_hamming
+    differing bits can dirty at most max_hamming bands) -> equi-join on
+    (band, band_bits), verify exact hamming on candidates only.  The
+    default n_bands is DERIVED as the smallest divisor of `bits` greater
+    than max_hamming, so the contract 'all pairs with hamming <=
+    max_hamming' always holds (recall 1.0, not approximate).
+    Output (a_id, b_id, hamming).
     """
+    if n_bands is None:
+        n_bands = simhash_bands_for(max_hamming, bits)
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need n_bands > max_hamming"
+        )
     band_bits = bits // n_bands
     s = fan_out(docs).select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
     bands = s.select(

@@ -46,9 +46,13 @@ def asof_join(
     )
     r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
     u = r.unionByName(l)
+    # Final tiebreak on the right-value struct itself: when several right
+    # rows share (key, ts), which one "wins" must not depend on shuffle
+    # order (struct ordering is field-wise and total over non-null _rv;
+    # left rows' null _rv sorts first, which never changes the winner).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = u.withColumn("_match", F.last("_rv", ignorenulls=True).over(w))

@@ -8,10 +8,18 @@ r bounds Chebyshev distance by r, hence any point *outside* the box has
 Euclidean distance > r; once a query has >= k candidates with k-th
 Euclidean distance <= r, no outside point can displace them.
 
-Queries are a small driver-side batch (broadcast); rounds are O(log
-domain) in the worst case, typically 1-3 with the density-based initial
-radius.  Ties broken by pid for determinism (matches the SQL oracle's
-`ORDER BY d2, pid`).
+Scale design (round-2 rework per VERDICT #4):
+
+* No ``points.count()`` fallback — the row count comes from the store
+  manifest when available, else from an explicit hint, else a cheap
+  constant-density guess.  A full count before any work is the wrong
+  plan at 10^12 rows.
+* When a materialized zkey-sorted store is given, each round reads only
+  the manifest-pruned files overlapping the round's boxes (the B-tree
+  descent) instead of re-scanning the whole table.
+* Per-round results are k rows per query — tiny by contract — so they
+  are collected and re-assembled once at the end instead of caching a
+  DataFrame per round (round 1 leaked one cached plan per round).
 """
 
 from __future__ import annotations
@@ -21,14 +29,26 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.decompose import decompose_box
 from ..sources.points import boxes_df
-from .bbox import bbox_join, intervals_df
+from .bbox import bbox_join_bucketed, bucketed_intervals_df
 
 DOMAIN = 1_000_000
 
 
+def _round_boxes(pending: list[dict], r: int, domain: int) -> list[dict]:
+    return [
+        {
+            "qid": q["qid"],
+            "mins": (max(q["qx"] - r, 0), max(q["qy"] - r, 0)),
+            "maxs": (min(q["qx"] + r, domain - 1), min(q["qy"] + r, domain - 1)),
+        }
+        for q in pending
+    ]
+
+
 def knn(
-    points: DataFrame,
+    points: DataFrame | None,
     queries: list[dict],
     *,
     bits: int = 20,
@@ -36,38 +56,62 @@ def knn(
     n_points_hint: int | None = None,
     zkey_col: str = "zkey",
     budget: int = 32,
+    store_path: str | None = None,
+    spark=None,
 ) -> DataFrame:
     """Top-k nearest points per query.
 
     `queries`: dicts with qid, qx, qy, k.  Returns (qid, rank, pid, x, y,
     d2) with rank 1..k ordered by squared Euclidean distance, pid
-    tie-break.
+    tie-break.  Pass ``store_path`` (a :func:`points_store` layout) to
+    read manifest-pruned candidate files per round instead of scanning
+    `points`; `points` may then be None.
     """
-    spark = points.sparkSession
+    if store_path is not None:
+        from ..sources.manifest import read_pruned
+        from ..sources.store import store_total_rows
+
+        spark = spark or (points.sparkSession if points is not None else None)
+        if spark is None:
+            raise ValueError("knn(store_path=...) needs `spark` or `points`")
+        if n_points_hint is None:
+            n_points_hint = store_total_rows(store_path)
+    else:
+        spark = points.sparkSession
     if n_points_hint is None:
-        n_points_hint = points.count()
+        # No count() fallback (full scan before any work — VERDICT #4).
+        # Underestimating the density only costs extra (cheap) early
+        # rounds; start from a mid-density guess and let expansion work.
+        n_points_hint = 1_000_000
     kmax = max(q["k"] for q in queries)
-    # density heuristic: expected half-side enclosing ~4k points
-    r = max(64, int(domain * math.sqrt(4.0 * kmax / max(n_points_hint, 1)) / 2))
+    # density heuristic: expected half-side enclosing ~16k points — at
+    # that size round 1 almost always terminates, and the candidate set
+    # stays tiny relative to a full scan
+    r = max(64, int(domain * math.sqrt(16.0 * kmax / max(n_points_hint, 1)) / 2))
 
     pending = list(queries)
-    done_parts: list[DataFrame] = []
+    rows_out: list[tuple] = []
     while pending:
-        boxes = [
-            {
-                "qid": q["qid"],
-                "mins": (max(q["qx"] - r, 0), max(q["qy"] - r, 0)),
-                "maxs": (min(q["qx"] + r, domain - 1), min(q["qy"] + r, domain - 1)),
-            }
-            for q in pending
-        ]
+        boxes = _round_boxes(pending, r, domain)
         bdf = boxes_df(spark, boxes)
-        ivs = intervals_df(spark, boxes, bits=bits, budget=budget)
+        # bucketed equi-join, NOT a range join: points x intervals as a
+        # BroadcastNestedLoopJoin is O(points * intervals) — measured 3x
+        # the whole kNN runtime at 16 queries x budget 32
+        bivs, shift = bucketed_intervals_df(spark, boxes, bits=bits, budget=budget)
+        if store_path is not None:
+            all_ivs = []
+            for b in boxes:
+                all_ivs.extend(
+                    decompose_box(tuple(b["mins"]), tuple(b["maxs"]), bits=bits, budget=budget)
+                )
+            src = read_pruned(spark, store_path, all_ivs)
+        else:
+            src = points
         qmeta = spark.createDataFrame(
             [(q["qid"], q["qx"], q["qy"], q["k"]) for q in pending],
             "qid long, qx long, qy long, k int",
         )
-        cand = bbox_join(points, bdf, ivs, zkey_col=zkey_col).join(
+        cand = bbox_join_bucketed(src, bdf, bivs, shift, zkey_col=zkey_col).join(
             F.broadcast(qmeta), "qid"
         )
         d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
@@ -76,34 +120,31 @@ def knn(
         w = Window.partitionBy("qid").orderBy(
             F.col("d2").asc(), F.col("pid").asc(), F.col("x").asc(), F.col("y").asc()
         )
-        topk = (
+        topk_rows = (
             cand.withColumn("d2", d2.cast("long"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("qid", "rank", "pid", "x", "y", "d2", "k")
+            .collect()  # k rows per query — bounded by the query batch
         )
-        topk = topk.cache()
-        stats = (
-            topk.groupBy("qid", "k")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("d2").alias("maxd2"))
-            .collect()
-        )
-        covered = {
-            row["qid"]
-            for row in stats
-            if row["n"] >= row["k"] and row["maxd2"] <= r * r
-        }
-        # boxes clipped to the full domain can't grow further: accept them
+        by_qid: dict[int, list] = {}
+        for row in topk_rows:
+            by_qid.setdefault(row["qid"], []).append(row)
         full_domain = r >= domain
-        if full_domain:
-            covered = {q["qid"] for q in pending}
-        if covered:
-            done_parts.append(
-                topk.filter(F.col("qid").isin([int(c) for c in covered])).drop("k")
-            )
-        pending = [q for q in pending if q["qid"] not in covered]
+        still = []
+        for q in pending:
+            rows = by_qid.get(q["qid"], [])
+            covered = (
+                len(rows) >= q["k"] and max(x["d2"] for x in rows) <= r * r
+            ) or full_domain
+            if covered:
+                rows_out.extend(
+                    (x["qid"], x["rank"], x["pid"], x["x"], x["y"], x["d2"]) for x in rows
+                )
+            else:
+                still.append(q)
+        pending = still
         r *= 4
-    out = done_parts[0]
-    for p in done_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(
+        rows_out, "qid long, rank int, pid long, x long, y long, d2 long"
+    )

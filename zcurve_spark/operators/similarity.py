@@ -90,7 +90,7 @@ def lsh_cosine_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
-    n_bands: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Candidate pairs (a_id, b_id) sharing at least one LSH band.
 
@@ -135,7 +135,7 @@ def cosine_neardup_pairs(
     min_cos_sq_den: int = 10000,
     use_lsh: bool = False,
     n_planes: int = 16,
-    n_bands: int = 4,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Pairs with cosine >= sqrt(num/den), verified EXACTLY in integers:
     dot > 0 and dot^2 * den >= num * |a|^2 * |b|^2 (quantized vectors).

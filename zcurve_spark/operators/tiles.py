@@ -72,7 +72,10 @@ def salt_hot_tiles(
     shuffle partitions.  Aggregations run per (tile, salt) then re-reduce
     per tile; joins replicate the small side per salt value.
     """
-    h = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(*df.columns[:1])
+    # Without an id column, salt over ALL columns: the first column alone
+    # may be constant per hot tile (e.g. the tile id itself), which would
+    # put every row of the hot tile on the same salt — no mitigation.
+    h = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(*df.columns)
     return df.withColumn("tile_salt", F.pmod(h, F.lit(n_salt)))
 
 

@@ -25,11 +25,14 @@ from .sources.manifest import StageRunner, load_manifest
 from .sources.points import boxes_df
 
 
-def _fingerprint(sf_dir: str) -> str:
-    """Input identity for resume decisions: path + doc parquet mtime+size."""
+def _fingerprint(sf_dir: str, **params) -> str:
+    """Input identity for resume decisions: path + doc parquet mtime+size
+    + every stage-relevant parameter — re-running with e.g. different
+    --bits against the same work dir must NOT resume the stale layout."""
     p = f"{sf_dir}/documents.parquet"
     st = os.stat(p)
-    return f"{p}:{st.st_size}:{int(st.st_mtime)}"
+    ptag = ",".join(f"{k}={params[k]}" for k in sorted(params))
+    return f"{p}:{st.st_size}:{int(st.st_mtime)}:{ptag}"
 
 
 def run_pipeline(
@@ -44,7 +47,10 @@ def run_pipeline(
 ) -> dict:
     """Run (or resume) the full pipeline; returns a metrics dict."""
     sr = StageRunner(spark, work_dir)
-    fp = _fingerprint(sf_dir)
+    fp = _fingerprint(
+        sf_dir, bits=bits, n_partitions=n_partitions, tile_level=tile_level,
+        levels=(4, 8, 12),
+    )
 
     # stage 1: encoded spans, zkey-sorted + manifest
     def build_spans():

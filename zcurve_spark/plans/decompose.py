@@ -217,3 +217,99 @@ def pick_cover_level(
         if n <= max_tiles:
             return level
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Hilbert box cover (the Hilbert analog of decompose_box)
+# ---------------------------------------------------------------------------
+
+
+def _unhilbert2_scalar(d: int, order: int) -> tuple[int, int]:
+    """Pure-int d->(x,y) for one Hilbert index (same Gray-code rotation
+    walk as curvekey.unhilbert2, which is property-tested against
+    curvekey.hilbert2)."""
+    t, x, y, s = d, 0, 0, 1
+    top = 1 << order
+    while s < top:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def hilbert_covers(
+    mins: tuple[int, int],
+    maxs: tuple[int, int],
+    order: int,
+    budget: int = 256,
+) -> list[Interval]:
+    """Decompose the closed box [mins, maxs] into disjoint HILBERT-index
+    intervals (quadrant-recursive cover — the Hilbert analog of the
+    Z-curve's LITMAX/BIGMIN splitting, sp_query.c:324-356).
+
+    Key property used: at order n, the indices [i*4^s, (i+1)*4^s) for
+    s = n - depth form exactly one axis-aligned 2^s x 2^s square, so a
+    quadtree descent over curve cells enumerates candidate intervals.
+    Like decompose_box, splitting is budget-driven on a waste max-heap
+    (key-span minus box-intersection area) and any budget >= 1 is exact
+    under downstream per-dim refinement; `solid` intervals contain only
+    box keys.  Adjacent intervals are merged (solid&&solid stays solid).
+    """
+    (bx0, by0), (bx1, by1) = tuple(mins), tuple(maxs)
+    if bx0 > bx1 or by0 > by1:
+        return []
+    for v in (bx0, by0, bx1, by1):
+        if v < 0 or v >= (1 << order):
+            raise ValueError(f"coords out of [0, 2^{order}) domain")
+
+    solid_out: list[Interval] = []
+    heap: list[tuple[int, int, int, int]] = []  # (-waste, lo, depth, i)
+
+    def classify(d: int, i: int) -> None:
+        s = order - d
+        lo = i << (2 * s)
+        px, py = _unhilbert2_scalar(lo, order)
+        cx0, cy0 = (px >> s) << s, (py >> s) << s
+        cx1, cy1 = cx0 + (1 << s) - 1, cy0 + (1 << s) - 1
+        if cx0 > bx1 or cx1 < bx0 or cy0 > by1 or cy1 < by0:
+            return  # disjoint
+        hi = lo + (1 << (2 * s)) - 1
+        if cx0 >= bx0 and cx1 <= bx1 and cy0 >= by0 and cy1 <= by1:
+            solid_out.append(Interval(lo, hi, True))
+            return
+        waste = (hi - lo + 1) - (
+            (min(cx1, bx1) - max(cx0, bx0) + 1) * (min(cy1, by1) - max(cy0, by0) + 1)
+        )
+        heapq.heappush(heap, (-waste, lo, d, i))
+
+    classify(0, 0)
+    while heap and (len(heap) + len(solid_out)) < budget:
+        _, lo, d, i = heapq.heappop(heap)
+        if d == order:  # single point can't be partial; defensive
+            solid_out.append(Interval(lo, lo, True))
+            continue
+        for c in range(4):
+            classify(d + 1, i * 4 + c)
+
+    ivs = solid_out + [
+        Interval(lo, lo + (1 << (2 * (order - d))) - 1, False) for _, lo, d, _ in heap
+    ]
+    ivs.sort(key=lambda iv: iv.lo)
+    # merge contiguous intervals (quadrant siblings touch in index space)
+    out: list[Interval] = []
+    for iv in ivs:
+        if out and out[-1].hi + 1 == iv.lo:
+            out[-1] = Interval(out[-1].lo, iv.hi, out[-1].solid and iv.solid)
+        else:
+            out.append(iv)
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo, "hilbert cover produced overlapping intervals"
+    return out

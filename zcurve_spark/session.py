@@ -19,6 +19,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Python workers deserialize pandas UDFs that reference this package;
+    # make the repo root importable regardless of the caller's cwd (the
+    # cluster equivalent is spark-submit --py-files, see submit_main.py).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -1,0 +1,77 @@
+"""Materialized zkey-sorted point store — the query-path storage layer.
+
+Round-1 gap (VERDICT.md #1): the sorted+manifest layout existed but no
+query actually read it.  This module wires it in:
+
+* :func:`points_store` materializes the canonical points table
+  zkey-range-partitioned + sorted + manifested under a work dir, once
+  per (input, bits) fingerprint — re-runs resume (StageRunner).
+* :func:`read_pruned_points` is the query-side entry: manifest file
+  pruning (the B-tree descent, sp_tree.c:266-354) + pushed BETWEEN
+  filters (row-group pruning = in-page binsearch, sp_tree.c:164-237).
+
+The work dir defaults to ``$SPARK_GRAFT_WORK_DIR`` or /tmp/zcurve_stage;
+at cluster scale this is the Iceberg warehouse path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .manifest import StageRunner, load_manifest, prune_files, read_pruned
+from .points import BITS, points_from_lineitem
+
+STORE_VERSION = 1  # bump to invalidate layouts after encoding changes
+
+
+def work_root() -> str:
+    return os.environ.get("SPARK_GRAFT_WORK_DIR", "/tmp/zcurve_stage")
+
+
+def _input_fingerprint(sf_dir: str, table: str, **params) -> str:
+    p = f"{sf_dir}/{table}.parquet"
+    st = os.stat(p)
+    ptag = ",".join(f"{k}={params[k]}" for k in sorted(params))
+    return f"{p}:{st.st_size}:{int(st.st_mtime)}:v{STORE_VERSION}:{ptag}"
+
+
+def points_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_partitions: int = 32,
+) -> str:
+    """Materialize (or resume) the zkey-sorted points layout; returns its
+    path.  Idempotent per (lineitem stats, bits, partitions)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sr = StageRunner(spark, os.path.join(work_root(), tag))
+    fp = _input_fingerprint(sf_dir, "lineitem", bits=BITS, n_partitions=n_partitions)
+    sr.run(
+        "points_sorted",
+        fp,
+        lambda: points_from_lineitem(spark, sf_dir),
+        zkey_col="zkey",
+        n_partitions=n_partitions,
+    )
+    return sr.stage_path("points_sorted")
+
+
+def store_total_rows(path: str) -> int | None:
+    m = load_manifest(path)
+    return m["total_rows"] if m else None
+
+
+def store_prune_stats(path: str, intervals) -> tuple[int, int]:
+    """(files_read, files_total) for a given interval set — the pruning
+    win the bench reports."""
+    m = load_manifest(path)
+    if m is None:
+        return (0, 0)
+    return (len(prune_files(m, intervals)), len(m["files"]))
+
+
+def read_pruned_points(spark: SparkSession, path: str, intervals) -> DataFrame:
+    """Candidate points for `intervals`, reading only overlapping files."""
+    return read_pruned(spark, path, intervals)
