@@ -115,3 +115,36 @@ def test_knn_store_path_matches_inmemory(spark, sorted_path):
     b = knn(None, qs, bits=BITS, domain=DOMAIN, store_path=sorted_path, spark=spark).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == sum(q["k"] for q in qs)
+
+
+def test_hilbert_store_pruned_lookup(spark, tmp_path_factory):
+    """Curve-agnostic storage: an hkey-sorted layout + hilbert_covers
+    intervals returns the same box rows as the coordinate predicate."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.functions.udfs import hilbert2_udf
+    from zcurve_spark.operators.bbox import bbox_lookup_pruned
+
+    path = str(tmp_path_factory.mktemp("hstore") / "points_hsorted")
+    pts = points_from_lineitem(spark, SF_DIR).withColumn(
+        "hkey", hilbert2_udf(BITS)(F.col("x"), F.col("y"))
+    )
+    write_sorted(pts, path, zkey_col="hkey", n_partitions=8, lineage={"stage": "h"})
+    box = ((200_000, 300_000), (420_000, 500_000))
+    got = bbox_lookup_pruned(
+        spark, path, box[0], box[1], zkey_col="hkey", bits=BITS, curve="hilbert"
+    ).collect()
+    exp = (
+        points_from_lineitem(spark, SF_DIR)
+        .filter(F.col("x").between(*[box[0][0], box[1][0]]) & F.col("y").between(box[0][1], box[1][1]))
+        .select("pid", "x", "y")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) > 0
+    # and the manifest actually prunes files for a small box
+    from zcurve_spark.plans.decompose import hilbert_covers
+
+    ivs = hilbert_covers((200_000, 300_000), (230_000, 330_000), order=BITS, budget=64)
+    m = load_manifest(path)
+    assert 0 < len(prune_files(m, ivs)) < len(m["files"])

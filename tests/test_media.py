@@ -50,3 +50,56 @@ def test_frame_sample(media):
     assert (pdf.frame_idx >= 0).all()
     one = f.groupBy("media_ref").agg(F.max("ts_ms").alias("mx"), F.count(F.lit(1)).alias("n")).first()
     assert one.n == one.mx // 10_000 + 1
+
+
+class TestRealWavCodec:
+    """The audio decode path is REAL (stdlib RIFF/WAV parse + numpy DSP),
+    not a hash fake — contract tests against locally computed features."""
+
+    def test_wav_roundtrip_features(self):
+        import numpy as np
+
+        from zcurve_spark.sources.media import FEATURE_DIM, decode_wav, synth_wav_blob
+
+        for seed in (0, 7, 123):
+            blob = synth_wav_blob(seed)
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+            f = decode_wav(blob)
+            assert f.shape == (FEATURE_DIM,)
+            assert f[0] == 1.0                      # mono
+            assert abs(f[1] - 8000 / 48000) < 1e-6  # sample rate
+            assert abs(f[2] - 2048 / 8000) < 1e-6   # duration
+            assert 0.1 < f[3] < 0.9                 # rms of the sine mix
+            # determinism
+            assert np.array_equal(f, decode_wav(synth_wav_blob(seed)))
+
+    def test_decode_rejects_garbage(self):
+        import pytest as _pytest
+
+        from zcurve_spark.sources.media import decode_wav
+
+        with _pytest.raises(Exception):
+            decode_wav(b"not a wav payload at all")
+
+    def test_extract_features_with_real_codec(self, spark):
+        import pandas as pd
+
+        from zcurve_spark.sources.media import (
+            FEATURES_SCHEMA,
+            codec_decode,
+            decode_wav,
+            extract_features,
+            synth_wav_blob,
+        )
+
+        rows = [(f"m://{i}", bytearray(synth_wav_blob(i)), ("audio", 0, 0, 256)) for i in range(12)]
+        df = spark.createDataFrame(
+            rows,
+            "media_ref string, blob binary, meta struct<media_type:string,width:int,height:int,duration_ms:int>",
+        )
+        out = extract_features(df, decode_fn=codec_decode).toPandas()
+        assert len(out) == 12
+        for r in out.itertuples():
+            i = int(r.media_ref.split("/")[-1])
+            expect = decode_wav(synth_wav_blob(i))
+            assert list(map(float, r.features)) == list(map(float, expect))

@@ -124,3 +124,31 @@ def test_lsh_recall_sf01_strong_pairs(spark):
     if strong:
         recall = len(strong & cand_pairs) / len(strong)
         assert recall >= 0.8, f"LSH recall {recall} on {len(strong)} strong pairs at sf0.1"
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb, mats):
+    """IVF-flat with nprobe=4/16 cells: results are a subset of the
+    corpus with exact dots; recall@5 vs the exact path must be high on
+    this small corpus, and nprobe=n_cells must equal the exact path."""
+    from zcurve_spark.operators.similarity import ivf_topk
+
+    ids, Q = mats
+    k = 5
+    qids = [0, 1, 2, 3]
+    exact = ann_topk(emb, qids, k).toPandas()
+    ivf = ivf_topk(emb, qids, k, n_cells=16, nprobe=4).toPandas()
+    # dots are exact within probed cells
+    by_id = {int(i): Q[ids == i][0] for i in ids}
+    for r in ivf.itertuples():
+        assert int(by_id[r.qid] @ by_id[r.vec_id]) == r.dot
+    hit = 0
+    for qid in qids:
+        e = set(exact[exact.qid == qid].vec_id)
+        g = set(ivf[ivf.qid == qid].vec_id)
+        hit += len(e & g)
+    assert hit / (len(qids) * k) >= 0.6, f"IVF recall {hit/(len(qids)*k)}"
+    # full probe == exact
+    full = ivf_topk(emb, qids, k, n_cells=16, nprobe=16).toPandas()
+    pd_exact = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd_full = full.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert pd_full.equals(pd_exact)

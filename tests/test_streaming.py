@@ -103,3 +103,56 @@ def test_stream_resume_is_idempotent(spark, tmp_path, events_dir):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path, events_dir):
+    """applyInPandasWithState sessionization: every emitted session must
+    equal a batch session (operators.events.session_stats boundaries),
+    and all sessions that end well before the final watermark must be
+    emitted regardless of how files were sliced into batches."""
+    import datetime
+
+    from zcurve_spark.operators.events import sessionize
+    from zcurve_spark.streaming.sessions import streaming_sessionize
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = streaming_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+
+    ev = spark.read.parquet(events_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(ev, gap_seconds=1800)
+    batch = (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("session_start"),
+            F.max(F.unix_timestamp("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    exp = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in batch}
+    assert got <= exp, f"stream emitted non-batch sessions: {sorted(got - exp)[:5]}"
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    # sessions whose close point precedes the final watermark minus slack
+    horizon = max_ts - (2 * 3600) - 1800 - 3600
+    must = {t for t in exp if t[2] <= horizon}
+    missing = must - got
+    assert not missing, f"closed sessions missing: {sorted(missing)[:5]}"
+    assert len(must) > 0

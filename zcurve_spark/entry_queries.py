@@ -279,6 +279,41 @@ def q_bbox_rows_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_rows_hilbert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range lookup over the HILBERT-key-SORTED store: quadrant-cover
+    intervals drive the same manifest file pruning as the Z layout —
+    storage layer and lookup machinery are curve-agnostic."""
+    from .operators.bbox import bbox_lookup_pruned
+    from .sources.store import hilbert_points_store
+
+    path = hilbert_points_store(spark, sf_dir, order=BITS)
+    return bbox_lookup_pruned(
+        spark,
+        path,
+        BBOX_SINGLE["mins"],
+        BBOX_SINGLE["maxs"],
+        zkey_col="hkey",
+        bits=BITS,
+        curve="hilbert",
+    )
+
+
+def q_raster_assign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster_assign with candidates read through manifest pruning
+    (cells are solid curve intervals -> direct file bounds)."""
+    from .operators.tiles import raster_assign_pruned
+    from .sources.store import points_store
+
+    path = points_store(spark, sf_dir)
+    cells = [(encode_point((tx, ty), 8), 8) for tx, ty in RASTER_CELLS]
+    hits = raster_assign_pruned(spark, path, cells, zkey_col="zkey", bits=BITS)
+    agg = hits.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    cdf = spark.createDataFrame([(c,) for c, _ in cells], "cell_id long")
+    return cdf.join(agg, "cell_id", "left").select(
+        "cell_id", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 def q_zkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_from_lineitem(spark, sf_dir).select("pid", "x", "y", "zkey")
 
@@ -547,6 +582,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (coarse-quantizer routing, nprobe cell scan) — the
+    bucketed scale path next to LSH; recall pytest-verified vs the exact
+    path (tests/test_similarity.py), membership is engine-specific so
+    this stays rows-only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(emb, ANN_QUERY_IDS, ANN_K, n_cells=16, nprobe=4).select(
+        "qid", "rank", "vec_id", "dot"
+    )
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.cosine_neardup_pairs(emb, use_lsh=True).select("a_id", "b_id", "dot")
@@ -625,6 +671,12 @@ def _oracle_sql() -> dict[str, str]:
             WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
               AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
         """,
+        "bbox_rows_hilbert_pruned": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
+        """,
         "zkey_encode": f"""
             WITH {PTS_CTE}
             SELECT pid, x, y, {zkey_sql('x', 'y')} AS zkey FROM pts
@@ -691,6 +743,13 @@ def _oracle_sql() -> dict[str, str]:
             GROUP BY p.poly_id
         """,
         "raster_assign": f"""
+            WITH {PTS_CTE},
+            cells(cell_id, tx, ty) AS (VALUES {cells_vals})
+            SELECT cell_id, count(p.pid) AS n
+            FROM cells LEFT JOIN pts p ON (p.x >> 12) = tx AND (p.y >> 12) = ty
+            GROUP BY cell_id
+        """,
+        "raster_assign_pruned": f"""
             WITH {PTS_CTE},
             cells(cell_id, tx, ty) AS (VALUES {cells_vals})
             SELECT cell_id, count(p.pid) AS n
@@ -867,6 +926,7 @@ def build_queries():
         "bbox_rows_3d_full": q_bbox_rows_3d_full,
         "zkey3_decode": q_zkey3_decode,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
+        "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "zkey_encode": q_zkey_encode,
         "zkey3_decimal": q_zkey3_decimal,
         "tile_counts": q_tile_counts,
@@ -874,6 +934,7 @@ def build_queries():
         "knn": q_knn,
         "pip_count": q_pip_count,
         "raster_assign": q_raster_assign,
+        "raster_assign_pruned": q_raster_assign_pruned,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -893,6 +954,7 @@ def build_queries():
         "simhash_neardup": q_simhash_neardup,
         "doc_fingerprint": q_doc_fingerprint,
         "lsh_ann": q_lsh_ann,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -153,8 +153,9 @@ def bbox_lookup_pruned(
     budget: int = 128,
     max_predicates: int = 24,
     sort_by_id: bool = True,
+    curve: str = "z",
 ) -> DataFrame:
-    """:func:`bbox_lookup` over the materialized zkey-sorted store: the
+    """:func:`bbox_lookup` over the materialized key-sorted store: the
     manifest prunes FILES before the scan even starts (the B-tree descent,
     sp_tree.c:266-354), then a handful of coalesced BETWEENs prune row
     groups inside the surviving files (pushed to parquet — the in-page
@@ -163,10 +164,19 @@ def bbox_lookup_pruned(
     grows steeply with OR-chain length (~1s at 16 terms, measured), which
     at 8 lookups/batch was slower than the scan it saved.  Result set is
     identical to the full-scan path — the bbox_rows_pruned oracle entry
-    asserts exactly that."""
+    asserts exactly that.
+
+    ``curve`` selects the interval decomposition: "z" (LITMAX/BIGMIN)
+    for a zkey-sorted layout, "hilbert" (quadrant cover) for an
+    hkey-sorted layout — the lookup machinery is curve-agnostic."""
     from ..sources.manifest import read_pruned
 
-    intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
+    if curve == "hilbert":
+        from ..plans.decompose import hilbert_covers
+
+        intervals = hilbert_covers(tuple(mins), tuple(maxs), order=bits, budget=budget)
+    else:
+        intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
     pts = read_pruned(spark, store_path, intervals)
     if not intervals:
         return pts.select(id_col, *coord_cols).limit(0)

@@ -166,3 +166,82 @@ def cosine_neardup_pairs(
         >= F.lit(min_cos_sq_num) * F.col("na") * F.col("nb")
     )
     return j.filter(keep).select("a_id", "b_id", "dot")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the bucketed scale path alongside LSH
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_expr(vec_col, seeds_q: list[list[int]]):
+    """Column: index (0-based) of the nearest seed by quantized dot
+    product — the coarse quantizer routing of IVF-flat.  `seeds_q` are
+    driver-side quantized seed vectors (n_cells x dim ints, tiny); the
+    whole assignment is one projection over a literal array-of-arrays —
+    no join, no shuffle, pure JVM."""
+    sarr = F.array(*[
+        F.array(*[F.lit(int(v)).cast("long") for v in s]) for s in seeds_q
+    ])
+    v = quantized(vec_col)
+    dots = F.transform(sarr, lambda s: dot_q(v, s))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_seeds(emb: DataFrame, n_cells: int, *, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[int]]:
+    """Deterministic coarse-quantizer seeds: the n_cells lowest-id
+    vectors, quantized.  (A k-means refinement would drop in here; seed
+    choice only affects recall/balance, never correctness, because IVF
+    results are verified exactly within probed cells.)"""
+    rows = (
+        emb.orderBy(F.col(id_col)).limit(n_cells)
+        .select(quantized(vec_col).alias("q")).collect()
+    )
+    return [list(r["q"]) for r in rows]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus bucketed by nearest seed, each
+    query scans only its `nprobe` nearest cells, exact quantized dot
+    within.  At 10^12 rows this scans nprobe/n_cells of the corpus per
+    query instead of all of it; the cell relation is hash-partitioned
+    and the probe is an equi-join on cell id.  Output
+    (qid, rank, vec_id, dot) — recall < 1 by design (pytest-verified
+    against the exact path, not SQL-oracled)."""
+    seeds = ivf_seeds(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cell = ivf_cell_expr(vec_col, seeds)
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("cvec"), cell.alias("cell")
+    )
+    # queries: tiny driver-side relation of (qid, qvec, probed cells)
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(F.col(id_col).alias("qid"), quantized(vec_col).alias("qvec"))
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = list(r["qvec"])
+        dots = [sum(a * b for a, b in zip(qv, s)) for s in seeds]
+        probed = sorted(range(len(seeds)), key=lambda c: (-dots[c], c))[:nprobe]
+        for c in probed:
+            probe_rows.append((int(r["qid"]), qv, int(c)))
+    q = emb.sparkSession.createDataFrame(
+        probe_rows, "qid long, qvec array<long>, cell int"
+    )
+    j = corpus.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("qid"))
+    j = j.withColumn("dot", dot_q(F.col("cvec"), F.col("qvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "dot")
+    )

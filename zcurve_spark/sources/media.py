@@ -74,6 +74,81 @@ def _fake_decode(blob: bytes, media_type: str) -> np.ndarray:
     return (arr.astype(np.float64) / 2**32).astype(np.float32)
 
 
+# --- real audio codec path (stdlib WAV; image/video stay stubbed -----------
+# because no PIL/cv2/av exist in this container) -----------------------------
+
+
+def synth_wav_blob(seed: int, *, sample_rate: int = 8000, n_samples: int = 2048) -> bytes:
+    """A REAL mono 16-bit PCM WAV payload (RIFF container via the stdlib
+    `wave` writer): a deterministic mix of two sines + hash noise.  Used
+    to exercise the real decode path end to end."""
+    import io
+    import wave
+
+    rng = np.arange(n_samples, dtype=np.float64)
+    f1 = 110.0 + (seed % 19) * 37.0
+    f2 = 523.25 + (seed % 7) * 91.0
+    noise_seed = np.frombuffer(
+        hashlib.sha256(str(seed).encode()).digest() * ((n_samples * 8) // 32 + 1),
+        dtype=np.uint64,
+    )[:n_samples]
+    noise = (noise_seed.astype(np.float64) / 2**64 - 0.5) * 0.1
+    sig = 0.5 * np.sin(2 * np.pi * f1 * rng / sample_rate) + 0.3 * np.sin(
+        2 * np.pi * f2 * rng / sample_rate
+    ) + noise
+    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> np.ndarray:
+    """REAL audio decode: parse the RIFF/WAV container (stdlib `wave`),
+    then numpy DSP features — FEATURE_DIM floats:
+    [n_channels, sample_rate/48k, seconds, rms, zero-crossing rate,
+     peak, 10 log-energy FFT bands].  Raises on non-WAV bytes (callers
+    fall back per media_type)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch, sw, sr, nframes = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"unsupported sample width {sw}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    n = max(len(x), 1)
+    rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, FEATURE_DIM - 6)
+    band_e = [float(np.log1p(np.sum(b**2))) for b in bands]
+    out = np.array(
+        [float(nch), sr / 48000.0, n / max(sr, 1), rms, zcr, peak, *band_e],
+        dtype=np.float32,
+    )
+    return out[:FEATURE_DIM]
+
+
+def codec_decode(blob: bytes, media_type: str) -> np.ndarray:
+    """Production-shaped dispatch: REAL WAV parsing for audio payloads,
+    deterministic fake for image/video (no PIL/cv2/av in this
+    container — swap those branches for real codecs in deployment)."""
+    if media_type == "audio":
+        try:
+            return decode_wav(blob)
+        except Exception:
+            return _fake_decode(blob, media_type)
+    return _fake_decode(blob, media_type)
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes, str], np.ndarray] = _fake_decode,

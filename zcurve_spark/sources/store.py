@@ -58,6 +58,38 @@ def points_store(
     return sr.stage_path("points_sorted")
 
 
+def hilbert_points_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    order: int = BITS,
+    n_partitions: int = 32,
+) -> str:
+    """Materialize (or resume) the HILBERT-key-sorted points layout —
+    the second curve of the north star as a physical sort order.  The
+    hkey column is computed once at write time (Arrow-batched numpy);
+    queries over this layout never re-encode."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import hilbert2_udf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sr = StageRunner(spark, os.path.join(work_root(), tag))
+    fp = _input_fingerprint(
+        sf_dir, "lineitem", curve="hilbert", order=order, n_partitions=n_partitions
+    )
+    sr.run(
+        "points_hsorted",
+        fp,
+        lambda: points_from_lineitem(spark, sf_dir).withColumn(
+            "hkey", hilbert2_udf(order)(F.col("x"), F.col("y"))
+        ),
+        zkey_col="hkey",
+        n_partitions=n_partitions,
+    )
+    return sr.stage_path("points_hsorted")
+
+
 def store_total_rows(path: str) -> int | None:
     m = load_manifest(path)
     return m["total_rows"] if m else None
