@@ -193,26 +193,45 @@ def main() -> None:
         from zcurve_spark.sources.manifest import StageRunner
         from zcurve_spark.sources.store import _input_fingerprint, work_root
 
-        # 256x -> ~154M rows / ~5 GB: big enough that the full scan is
-        # IO/decode-bound, so the files-skipped ratio shows up as time.
+        # 1024x -> ~614M rows / ~17 GB: big enough that scans are
+        # decode-bound, so both pruning tiers show up as wall-clock.
         # Built ONCE (StageRunner resume makes every later run free).
-        big_mult = int(os.environ.get("SPARK_GRAFT_STORE_MULT", "256"))
+        big_mult = int(os.environ.get("SPARK_GRAFT_STORE_MULT", "1024"))
+        # ~35 MB files: pruning granularity AND scan parallelism.  With 64
+        # coarse files a pruned 8-file read ran on 8 of 32 cores — the IO
+        # win was masked by lost parallelism on a warm page cache.
+        big_parts = int(os.environ.get("SPARK_GRAFT_STORE_PARTS", "512"))
         tag = _os.path.basename(_os.path.normpath(sf_dir))
         sr = StageRunner(spark, _os.path.join(work_root(), f"{tag}_x{big_mult}"))
-        fpb = _input_fingerprint(sf_dir, "lineitem", bits=BITS, mult=big_mult)
-        sr.run(
-            "points_sorted",
-            fpb,
-            lambda: amplify_points(points_from_lineitem(spark, sf_dir), big_mult),
-            n_partitions=64,
+        fpb = _input_fingerprint(
+            sf_dir, "lineitem", bits=BITS, mult=big_mult, parts=big_parts
         )
+        big_src = lambda: amplify_points(points_from_lineitem(spark, sf_dir), big_mult)
+        sr.run("points_sorted", fpb, big_src, n_partitions=big_parts)
         big = sr.stage_path("points_sorted")
         big_pts = spark.read.parquet(big)
 
-        # One batch job per side (a per-box union of plans blows up the
-        # optimizer): pruned side reads only the files any box needs and
-        # pushes one global zkey BETWEEN per box to parquet (row-group
-        # pruning); both sides share the exact coordinate refinement.
+        # Unsorted twin = the no-index baseline (what the data looks like
+        # WITHOUT this engine's layout): same rows, hash-scattered, so
+        # parquet row-group min/max stats cannot prune anything.
+        unsorted = _os.path.join(work_root(), f"{tag}_x{big_mult}", "points_unsorted")
+        if not _os.path.exists(_os.path.join(unsorted, "_SUCCESS")):
+            big_src().repartition(big_parts, F.col("pid")).write.mode(
+                "overwrite"
+            ).parquet(unsorted)
+        unsorted_pts = spark.read.parquet(unsorted)
+
+        # Three tiers, one batch job per side, all sharing the same exact
+        # coordinate refinement (a per-box union of plans blows up the
+        # optimizer):
+        #   bbox_scan_unsorted — decode everything (seq-scan baseline,
+        #                        the reference's non-index plan)
+        #   bbox_fullscan      — zkey-sorted layout: parquet row-group
+        #                        min/max stats on the clustered x/y prune
+        #                        most row groups (in-page binsearch tier)
+        #   bbox_pruned        — + manifest file pruning (B-tree descent
+        #                        tier): only files intersecting some
+        #                        box's curve intervals are even opened
         from zcurve_spark.operators.bbox import box_refine_predicate
         from zcurve_spark.sources.manifest import load_manifest, prune_files
 
@@ -231,16 +250,10 @@ def main() -> None:
             m = load_manifest(big)
             all_ivs = [iv for ivs in box_ivs.values() for iv in ivs]
             names = prune_files(m, all_ivs)
-            df = spark.read.parquet(*[f"{big}/{n}" for n in names])
-            pushed = F.lit(False)
-            for ivs in box_ivs.values():
-                pushed = pushed | F.col("zkey").between(ivs[0].lo, ivs[-1].hi)
-            return _refine(df.filter(pushed))
+            return _refine(spark.read.parquet(*[f"{big}/{n}" for n in names]))
 
-        def bbox_fullscan():
-            return _refine(big_pts)
-
-        run("bbox_fullscan", bbox_fullscan)
+        run("bbox_scan_unsorted", lambda: _refine(unsorted_pts))
+        run("bbox_fullscan", lambda: _refine(big_pts))
         run("bbox_pruned", bbox_pruned)
         m = load_manifest(big)
         all_ivs = [iv for ivs in box_ivs.values() for iv in ivs]
@@ -292,6 +305,10 @@ def main() -> None:
         out["spans_per_sec"] = round(n_spans / timings["tile_assign"], 1)
     if "bbox_batch" in timings:
         out["boxes_per_sec"] = round(len(boxes) / timings["bbox_batch"], 1)
+    if "bbox_pruned" in timings and "bbox_scan_unsorted" in timings and timings["bbox_pruned"] > 0:
+        out["layout_speedup"] = round(
+            timings["bbox_scan_unsorted"] / timings["bbox_pruned"], 2
+        )
     if "bbox_pruned" in timings and "bbox_fullscan" in timings and timings["bbox_pruned"] > 0:
         out["pruned_speedup"] = round(timings["bbox_fullscan"] / timings["bbox_pruned"], 2)
     out.update(extra)

@@ -598,6 +598,66 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(emb, use_lsh=True).select("a_id", "b_id", "dot")
 
 
+# ----- LSH/IVF recall oracles: deterministic subsets the probabilistic
+# paths are GUARANTEED to find, so they get full SQL oracles -----
+
+
+def q_minhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash+LSH recall: plant exact duplicates (every
+    50th doc re-inserted under a shifted id), run the full LSH pipeline,
+    keep jac_milli == 1000.  Identical gram sets produce identical
+    signatures, which collide in EVERY band — so LSH finds ALL of them,
+    and Jaccard == 1 iff the gram sets are equal, which the SQL oracle
+    computes directly (list equality on sorted distinct 3-gram lists)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    return DD.minhash_lsh_pairs(
+        docs.unionByName(extra), verify_min_jaccard_milli=1000
+    ).select("a_id", "b_id", "jac_milli")
+
+
+def q_lsh_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked hyperplane-LSH recall: plant duplicate embeddings
+    (every 25th vector re-inserted under a shifted id).  Identical raw
+    vectors hash to the identical sign sketch, so they collide in every
+    band — the candidate join is GUARANTEED to surface them; keeping
+    only raw-equal pairs makes the result exactly SQL-expressible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    extra = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    alle = emb.unionByName(extra)
+    cand = SIM.lsh_cosine_candidates(alle)
+    side = alle.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("e"),
+        SIM.quantized("embedding").alias("v"),
+    )
+    a = side.select(F.col("id").alias("a_id"), F.col("e").alias("ea"), F.col("v").alias("va"))
+    b = side.select(F.col("id").alias("b_id"), F.col("e").alias("eb"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.col("ea") == F.col("eb"))
+        .select("a_id", "b_id", SIM.dot_q(F.col("va"), F.col("vb")).alias("dot"))
+    )
+
+
+def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with nprobe == n_cells probes every cell, so the result
+    is EXACTLY the brute-force top-k (same quantized dots, same
+    deterministic tiebreak) — oracle-checked proof that the IVF routing
+    and per-cell scan lose nothing except by cell pruning."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(
+        emb, ANN_QUERY_IDS, ANN_K, n_cells=16, nprobe=16
+    ).select("qid", "rank", "vec_id", "dot")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -821,6 +881,58 @@ def _oracle_sql() -> dict[str, str]:
                   * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 4
                   >= a.n2 * b.n2
         """,
+        "minhash_exact_dups": """
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0
+            ),
+            g AS (
+              SELECT doc_id, list_sort(list_distinct(
+                       CASE WHEN len(w) < 3 THEN []
+                            ELSE list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END)) AS grams
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alldocs)
+            ),
+            ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(1000 AS BIGINT) AS jac_milli
+            FROM ne a JOIN ne b ON a.grams = b.grams AND a.doc_id < b.doc_id
+        """,
+        "lsh_ann_exact": """
+            WITH alle AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            q AS (
+              SELECT vec_id, embedding,
+                     list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS v
+              FROM alle
+            )
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
+            FROM q a JOIN q b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        """,
+        "ivf_topk_exhaustive": f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            d AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                     CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+              FROM v q CROSS JOIN v c
+              WHERE q.vec_id IN ({ann_ids}) AND c.vec_id != q.vec_id
+            ),
+            r AS (
+              SELECT qid, vec_id, dot,
+                     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, vec_id, dot FROM r WHERE rank <= {ANN_K}
+        """,
         "zkey_decode": f"""
             WITH {PTS_CTE} SELECT pid, x, y FROM pts
         """,
@@ -948,6 +1060,9 @@ def build_queries():
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "streaming_tile_counts": q_streaming_tile_counts,
+        "minhash_exact_dups": q_minhash_exact_dups,
+        "lsh_ann_exact": q_lsh_ann_exact,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         # rows-only (non-SQL-expressible or engine-specific hashes)
         "hilbert_encode": q_hilbert_encode,
         "minhash_pairs": q_minhash_pairs,
