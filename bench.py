@@ -120,14 +120,20 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES", "")
     selected = set(q.strip() for q in only.split(",") if q.strip()) if only else None
 
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+
     def run(name, fn):
         if selected is not None and name not in selected:
             return
         if warm:
             fn()  # warmup: JIT + codegen compile outside the timed window
-        t0 = time.time()
-        counts[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):  # best-of-N: the host is shared; min time
+            t0 = time.time()   # measures capability, not noisy neighbors
+            counts[name] = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
 
     # --- tile assignment (flagship; docs/sec + spans/sec) ---

@@ -407,6 +407,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
         TX.quality_score_milli("text", "n_chars").alias("quality_milli"),
         TX.punct_count("text").alias("n_punct"),
     )
@@ -843,6 +844,8 @@ def _oracle_sql() -> dict[str, str]:
         "text_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                        AS BIGINT) AS n_bpe_tokens,
                    CAST(floor(1000.0 * len(string_split(text, ' '))
                         / greatest(n_chars, 1)) AS BIGINT) AS quality_milli,
                    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct

@@ -22,6 +22,19 @@ def token_count(text_col) -> Column:
     return F.size(F.split(_c(text_col), " ")).cast("long")
 
 
+# BPE-pre-tokenizer shape: alpha runs, digit runs, single non-alnum
+# marks (whitespace dropped).  Branches match disjoint character
+# classes, so Java (Spark) and RE2 (DuckDB) regex engines agree on
+# every input regardless of leftmost-first vs leftmost-longest.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(text_col) -> Column:
+    """BPE-ish regex token count (the pre-tokenization most byte-pair
+    encoders apply before merges) — JVM regexp, no Python."""
+    return F.regexp_count(_c(text_col), F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def occurrences(text_col, needle: str) -> Column:
     """Non-overlapping occurrence count of a literal substring."""
     t = _c(text_col)

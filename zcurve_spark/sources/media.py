@@ -2,12 +2,14 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` operators.  The actual codec call is
-STUBBED (no image/audio libraries in this container): ``decode_fn``
-defaults to a deterministic fake that derives pixel/sample statistics
-from the bytes — the Spark-side contract (schemas, batch iteration,
-partitioning, null handling) is real and tested, and a production
-deployment swaps in a real codec without touching the plan.
+Arrow-batched ``mapInPandas`` operators.  Codec status: **audio decode
+is REAL** (stdlib RIFF/WAV parse + numpy DSP features), **image decode
+and resize are REAL for uncompressed 24-bit BMP** (struct+numpy
+container parse; nearest-neighbor resample); compressed image formats
+and video decode are STUBBED behind a deterministic fake (no
+PIL/cv2/av in this container) — the Spark-side contract (schemas,
+batch iteration, partitioning, null handling) is identical either way,
+so a production deployment swaps codecs without touching the plan.
 """
 
 from __future__ import annotations
@@ -137,16 +139,152 @@ def decode_wav(blob: bytes) -> np.ndarray:
     return out[:FEATURE_DIM]
 
 
+# --- real image codec path (24-bit BI_RGB BMP via struct+numpy; ------------
+# compressed formats (PNG/JPEG) stay stubbed — no codec libs here) ----------
+
+
+def _bmp_encode(pix: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> a REAL 24-bit uncompressed BMP file
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR scanlines,
+    rows padded to 4 bytes)."""
+    import struct
+
+    h, w, _ = pix.shape
+    row = w * 3
+    stride = (row + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = pix[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def synth_bmp_blob(seed: int, *, width: int = 32, height: int = 24) -> bytes:
+    """A REAL BMP payload: RG gradient + hash-noise blue channel, fully
+    deterministic per seed.  Exercises the real image decode path."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    r = ((xx * 255) // max(width - 1, 1)).astype(np.uint8)
+    g = ((yy * 255) // max(height - 1, 1)).astype(np.uint8)
+    need = width * height
+    noise = np.frombuffer(
+        hashlib.sha256(str(seed).encode()).digest() * (need // 32 + 1),
+        dtype=np.uint8,
+    )[:need].reshape(height, width)
+    return _bmp_encode(np.stack([r, g, noise], axis=-1))
+
+
+def _bmp_pixels(blob: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP -> (h, w, 3) uint8 RGB.
+    Handles bottom-up and top-down scanline order and row padding;
+    raises on anything that isn't plain BI_RGB 24bpp."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", blob, 10)[0]
+    hsz, w, h_raw, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if hsz < 40 or bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+        raise ValueError(f"unsupported BMP (hsz={hsz} bpp={bpp} comp={comp})")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+    bgr = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    pix = bgr[:, :, ::-1]
+    return pix if h_raw < 0 else pix[::-1]
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """REAL image decode: BMP container parse + numpy features —
+    FEATURE_DIM floats: [w/4096, h/4096, mean R/G/B, gray std,
+    horizontal edge energy, 9-bin gray histogram fractions]."""
+    pix = _bmp_pixels(blob).astype(np.float64)
+    h, w = pix.shape[:2]
+    gray = pix @ np.array([0.299, 0.587, 0.114])
+    edge = float(np.mean(np.abs(np.diff(gray, axis=1)))) / 255.0 if w > 1 else 0.0
+    hist = np.histogram(gray, bins=FEATURE_DIM - 7, range=(0.0, 255.0001))[0]
+    hist = hist / max(gray.size, 1)
+    out = np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            float(pix[:, :, 0].mean()) / 255.0,
+            float(pix[:, :, 1].mean()) / 255.0,
+            float(pix[:, :, 2].mean()) / 255.0,
+            float(gray.std()) / 255.0,
+            edge,
+            *hist.tolist(),
+        ],
+        dtype=np.float32,
+    )
+    return out[:FEATURE_DIM]
+
+
+def resize_bmp(blob: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: nearest-neighbor resample in numpy, re-encoded
+    as BMP.  The per-payload codec shape a production resize UDF has."""
+    pix = _bmp_pixels(blob)
+    h, w = pix.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return _bmp_encode(pix[yi][:, xi])
+
+
 def codec_decode(blob: bytes, media_type: str) -> np.ndarray:
     """Production-shaped dispatch: REAL WAV parsing for audio payloads,
-    deterministic fake for image/video (no PIL/cv2/av in this
-    container — swap those branches for real codecs in deployment)."""
+    REAL BMP parsing for image payloads; deterministic fake for video
+    and for compressed image formats (no PIL/cv2/av in this container —
+    swap those branches for real codecs in deployment)."""
     if media_type == "audio":
         try:
             return decode_wav(blob)
         except Exception:
             return _fake_decode(blob, media_type)
+    if media_type == "image":
+        try:
+            return decode_bmp(blob)
+        except Exception:
+            return _fake_decode(blob, media_type)
     return _fake_decode(blob, media_type)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas image resize over (media_ref, blob): decodable BMP
+    payloads are resampled to (width, height); undecodable payloads pass
+    through with their original bytes (a real pipeline would route them
+    to a transcode queue).  Arrow-batched; per-payload codec calls."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for b in pdf["blob"]:
+                try:
+                    nb = resize_bmp(bytes(b), width, height)
+                    blobs.append(nb); ws.append(width); hs.append(height)
+                except Exception:
+                    blobs.append(None if b is None else bytes(b))
+                    ws.append(-1); hs.append(-1)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "blob": blobs,
+                }
+            )
+
+    return media.select("media_ref", "blob").mapInPandas(op, RESIZED_SCHEMA)
 
 
 def extract_features(
