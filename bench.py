@@ -35,7 +35,7 @@ import time
 from pyspark.sql import functions as F
 
 from zcurve_spark.entry_queries import POLYGONS
-from zcurve_spark.functions.columns import zkey2_col, zkey3_col
+from zcurve_spark.functions.columns import tile_id_col, zkey2_col, zkey3_col
 from zcurve_spark.operators.bbox import (
     bbox_join_bucketed,
     bucketed_intervals_df,
@@ -160,6 +160,29 @@ def main() -> None:
 
     run("tile_assign", tile_assign)
     n_spans = counts.get("tile_assign", n_spans_in)
+
+    # compute-bound twin: the sf0.1 docs table is tiny enough that
+    # tile_assign above measures job overhead, not the engine; this row
+    # runs the same encode->tile->agg chain over generated spans sized
+    # so per-core compute dominates (the number that scales to 100 TB)
+    n_gen = int(os.environ.get("SPARK_GRAFT_GEN_SPANS", 256_000_000))
+
+    def tile_assign_gen():
+        df = spark.range(0, n_gen, 1, 128)
+        qx = ((F.col("id") * 2654435761 + 12345) % (1 << 30)).alias("qx")
+        qy = ((F.col("id") * 1013904223 + 54321) % (1 << 30)).alias("qy")
+        t = df.select((F.col("id") / 8).cast("long").alias("doc_num"), qx, qy)
+        t = t.withColumn("zkey", zkey2_col("qx", "qy"))
+        for level in (4, 8, 12):
+            t = t.withColumn(f"tile_l{level}", tile_id_col("zkey", level, bits=30))
+        return (
+            t.groupBy("tile_l8")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.approx_count_distinct("doc_num").alias("d"))
+            .agg(F.sum("n")).collect()[0][0]
+        )
+
+    run("tile_assign_gen", tile_assign_gen)
 
     # --- the points side: materialized zkey-sorted store (the storage
     # layer IS the query path — VERDICT r1 #1); amplified runs derive
@@ -309,6 +332,8 @@ def main() -> None:
     if "tile_assign" in timings:
         out["docs_per_sec"] = round(n_docs / timings["tile_assign"], 1)
         out["spans_per_sec"] = round(n_spans / timings["tile_assign"], 1)
+    if "tile_assign_gen" in timings and timings["tile_assign_gen"] > 0:
+        out["gen_spans_per_sec"] = round(n_gen / timings["tile_assign_gen"], 1)
     if "bbox_batch" in timings:
         out["boxes_per_sec"] = round(len(boxes) / timings["bbox_batch"], 1)
     if "bbox_pruned" in timings and "bbox_scan_unsorted" in timings and timings["bbox_pruned"] > 0:

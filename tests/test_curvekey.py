@@ -173,3 +173,38 @@ class TestColumnKernelsMatchNumpy:
         ).toPandas()
         expect = ck.zkey2(x >> np.uint64(s), y >> np.uint64(s))
         assert (out.t.to_numpy(np.uint64) == expect).all()
+
+
+class TestHilbert3:
+    """3D Hilbert via Skilling's transpose algorithm (AIP Conf. Proc. 707,
+    2004) — the 3D analog of TestHilbert."""
+
+    def test_roundtrip(self, rng):
+        x, y, z = (_rand(rng, 20) for _ in range(3))
+        xd, yd, zd = ck.unhilbert3(ck.hilbert3(x, y, z, order=20), order=20)
+        assert (xd == x).all() and (yd == y).all() and (zd == z).all()
+
+    def test_bijective_small(self):
+        """Every cell of a 16^3 cube maps to a distinct index in [0, 4096)."""
+        g = np.arange(16, dtype=np.uint64)
+        X, Y, Z = np.meshgrid(g, g, g)
+        d = ck.hilbert3(X.ravel(), Y.ravel(), Z.ravel(), order=4)
+        assert len(np.unique(d)) == 4096 and int(d.max()) == 4095
+
+    def test_adjacency(self):
+        """Consecutive curve positions are 3D grid neighbors (Manhattan
+        distance exactly 1) — the locality property that makes the key
+        range-partition-friendly."""
+        d = np.arange(4096, dtype=np.uint64)
+        x, y, z = ck.unhilbert3(d, order=4)
+        man = (
+            np.abs(np.diff(x.astype(np.int64)))
+            + np.abs(np.diff(y.astype(np.int64)))
+            + np.abs(np.diff(z.astype(np.int64)))
+        )
+        assert (man == 1).all()
+
+    def test_int64_safe_at_order_20(self):
+        m = np.array([(1 << 20) - 1], dtype=np.uint64)
+        k = ck.hilbert3(m, m, m, order=20)
+        assert int(k[0]) < 2**60

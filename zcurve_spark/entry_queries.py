@@ -470,6 +470,24 @@ def q_hilbert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("pid", dec.getField("x").alias("x"), dec.getField("y").alias("y"))
 
 
+def q_hilbert3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D Hilbert bijectivity (Skilling transpose algorithm): encode then
+    decode must reproduce the coords — the 3D analog of
+    `hilbert_roundtrip`, closing the gap that Hilbert coverage was
+    2D-only while the Z-path had full 2D+3D."""
+    from .functions.udfs import hilbert3_udf, unhilbert3_udf
+
+    pts = points_from_lineitem(spark, sf_dir)
+    h = hilbert3_udf(20)(F.col("x"), F.col("y"), F.col("z"))
+    dec = unhilbert3_udf(20)(h)
+    return pts.select(
+        "pid",
+        dec.getField("x").alias("x"),
+        dec.getField("y").alias("y"),
+        dec.getField("z").alias("z"),
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's latest view at or
     before it (inner semantics, matching DuckDB ASOF JOIN)."""
@@ -942,6 +960,9 @@ def _oracle_sql() -> dict[str, str]:
         "hilbert_roundtrip": f"""
             WITH {PTS_CTE} SELECT pid, x, y FROM pts
         """,
+        "hilbert3_roundtrip": f"""
+            WITH {PTS_CTE} SELECT pid, x, y, z FROM pts
+        """,
         "events_asof": """
             SELECT c.event_id, c.user_id,
                    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
@@ -1058,6 +1079,7 @@ def build_queries():
         "embedding_neardup": q_embedding_neardup,
         "zkey_decode": q_zkey_decode,
         "hilbert_roundtrip": q_hilbert_roundtrip,
+        "hilbert3_roundtrip": q_hilbert3_roundtrip,
         "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,

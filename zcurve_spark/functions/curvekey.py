@@ -202,6 +202,82 @@ def unhilbert2(d: np.ndarray, order: int = MAX_BITS_2D) -> tuple[np.ndarray, np.
 
 
 # ---------------------------------------------------------------------------
+# Hilbert 3D (Skilling's transpose algorithm; public — J. Skilling,
+# "Programming the Hilbert curve", AIP Conf. Proc. 707 (2004) 381-387 —
+# vectorized over numpy arrays)
+# ---------------------------------------------------------------------------
+
+
+def hilbert3(
+    x: np.ndarray, y: np.ndarray, z: np.ndarray, order: int = MAX_BITS_3D_LONG
+) -> np.ndarray:
+    """3D Hilbert index at `order` bits/dim (key < 2^(3*order) <= 2^60,
+    non-negative int64-safe, monotone sortable like zkey3).
+
+    Axes -> transpose (Skilling): per bit level, conditionally invert or
+    exchange low bits of axis 0 against each axis, then Gray-encode
+    across axes; the final index interleaves the transposed axes with
+    axis 0 in the most-significant slot of each bit-triple (the same
+    slot layout as :func:`zkey3`, so `spread3` does the packing)."""
+    if not 1 <= order <= MAX_BITS_3D_LONG:
+        raise ValueError(f"order must be in [1, {MAX_BITS_3D_LONG}], got {order}")
+    X = [
+        np.asarray(x, dtype=np.uint64).copy(),
+        np.asarray(y, dtype=np.uint64).copy(),
+        np.asarray(z, dtype=np.uint64).copy(),
+    ]
+    M = _U(1) << _U(order - 1)
+    # inverse-undo pass
+    Q = M
+    while Q > _U(1):
+        P = Q - _U(1)
+        for i in range(3):
+            mask = (X[i] & Q) != 0
+            X[0] = np.where(mask, X[0] ^ P, X[0])  # invert low bits of axis 0
+            t = np.where(mask, _U(0), (X[0] ^ X[i]) & P)  # else: exchange
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= _U(1)
+    # Gray encode
+    for i in range(1, 3):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > _U(1):
+        t = np.where((X[2] & Q) != 0, t ^ (Q - _U(1)), t)
+        Q >>= _U(1)
+    for i in range(3):
+        X[i] ^= t
+    return (spread3(X[0]) << _U(2)) | (spread3(X[1]) << _U(1)) | spread3(X[2])
+
+
+def unhilbert3(
+    h: np.ndarray, order: int = MAX_BITS_3D_LONG
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`hilbert3` (index -> (x, y, z))."""
+    k = np.asarray(h, dtype=np.uint64)
+    X = [compact3(k >> _U(2)), compact3(k >> _U(1)), compact3(k)]
+    N = _U(2) << _U(order - 1)
+    # Gray decode
+    t = X[2] >> _U(1)
+    for i in range(2, 0, -1):
+        X[i] ^= X[i - 1]
+    X[0] ^= t
+    # undo excess work
+    Q = _U(2)
+    while Q != N:
+        P = Q - _U(1)
+        for i in range(2, -1, -1):
+            mask = (X[i] & Q) != 0
+            X[0] = np.where(mask, X[0] ^ P, X[0])
+            t = np.where(mask, _U(0), (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q <<= _U(1)
+    return X[0], X[1], X[2]
+
+
+# ---------------------------------------------------------------------------
 # lon/lat quantizers
 # ---------------------------------------------------------------------------
 

@@ -40,6 +40,38 @@ def unhilbert2_udf(order: int):
     return _uh
 
 
+def hilbert3_udf(order: int):
+    """pandas UDF: (x, y, z) -> 3D Hilbert index at `order` bits/dim
+    (Skilling transpose algorithm, vectorized numpy)."""
+
+    @F.pandas_udf(T.LongType())
+    def _h3(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        d = ck.hilbert3(
+            x.to_numpy(np.uint64), y.to_numpy(np.uint64), z.to_numpy(np.uint64),
+            order=order,
+        )
+        return pd.Series(d.astype(np.int64))
+
+    return _h3
+
+
+def unhilbert3_udf(order: int):
+    @F.pandas_udf(T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("z", T.LongType()),
+    ]))
+    def _uh3(d: pd.Series) -> pd.DataFrame:
+        x, y, z = ck.unhilbert3(d.to_numpy(np.uint64), order=order)
+        return pd.DataFrame({
+            "x": x.astype(np.int64),
+            "y": y.astype(np.int64),
+            "z": z.astype(np.int64),
+        })
+
+    return _uh3
+
+
 @F.pandas_udf(T.DecimalType(38, 0))
 def zkey3_full_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
     """Full-width 96-bit 3D Morton key as Decimal(38,0) — the reference's
