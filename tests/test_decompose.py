@@ -191,3 +191,48 @@ class TestHilbertCovers:
             ivs = hilbert_covers((x0, y0), (x1, y1), order=order, budget=10**9)
             assert all(iv.solid for iv in ivs)
             assert sum(iv.hi - iv.lo + 1 for iv in ivs) == len(expect)
+
+
+class TestHilbert3Covers:
+    """hilbert3_covers vs brute force over the full cube at order 4:
+    exact under refinement at EVERY budget; solid intervals contain only
+    box keys."""
+
+    def test_exact_at_every_budget(self):
+        import numpy as np
+
+        from zcurve_spark.functions.curvekey import hilbert3
+        from zcurve_spark.plans.decompose import hilbert3_covers
+
+        order = 4
+        n = 1 << order
+        g = np.arange(n, dtype=np.uint64)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        xs, ys, zs = X.ravel(), Y.ravel(), Z.ravel()
+        hk = hilbert3(xs, ys, zs, order=order)
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            x0, x1 = sorted(rng.integers(0, n, 2).tolist())
+            y0, y1 = sorted(rng.integers(0, n, 2).tolist())
+            z0, z1 = sorted(rng.integers(0, n, 2).tolist())
+            in_box = (
+                (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+                & (zs >= z0) & (zs <= z1)
+            )
+            expect = set(hk[in_box].tolist())
+            for budget in (1, 4, 32, 10**9):
+                ivs = hilbert3_covers((x0, y0, z0), (x1, y1, z1), order=order, budget=budget)
+                cand = np.zeros_like(in_box)
+                for iv in ivs:
+                    cand |= (hk >= iv.lo) & (hk <= iv.hi)
+                assert set(hk[cand & in_box].tolist()) == expect
+                for iv in ivs:
+                    if iv.solid:
+                        assert in_box[(hk >= iv.lo) & (hk <= iv.hi)].all()
+
+    def test_aligned_cube_is_one_solid_interval(self):
+        from zcurve_spark.plans.decompose import hilbert3_covers
+
+        ivs = hilbert3_covers((0, 0, 0), (7, 7, 7), order=5, budget=10**9)
+        assert len(ivs) == 1 and ivs[0].solid
+        assert ivs[0].hi - ivs[0].lo + 1 == 8**3

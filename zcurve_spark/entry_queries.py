@@ -279,6 +279,28 @@ def q_bbox_rows_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_rows_hilbert3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D range lookup over the 3D HILBERT key (Skilling transpose):
+    octree-cover interval decomposition (hilbert3_covers) + refinement —
+    completes the curve/arity matrix (Z 2D/3D, Hilbert 2D/3D).  Same
+    oracle as the Z-key 3D lookup: the curve must not change the
+    answer."""
+    from .functions.udfs import hilbert3_udf
+    from .operators.bbox import bbox_lookup_hilbert
+
+    pts = points_from_lineitem(spark, sf_dir).withColumn(
+        "hkey3", hilbert3_udf(20)(F.col("x"), F.col("y"), F.col("z"))
+    )
+    return bbox_lookup_hilbert(
+        pts,
+        BBOX_SINGLE_3D["mins"],
+        BBOX_SINGLE_3D["maxs"],
+        hkey_col="hkey3",
+        coord_cols=("x", "y", "z"),
+        order=20,
+    )
+
+
 def q_bbox_rows_hilbert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range lookup over the HILBERT-key-SORTED store: quadrant-cover
     intervals drive the same manifest file pruning as the Z layout —
@@ -723,6 +745,13 @@ def _oracle_sql() -> dict[str, str]:
               AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
               AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
         """,
+        "bbox_rows_hilbert3": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y, z FROM pts
+            WHERE x BETWEEN {b3['mins'][0]} AND {b3['maxs'][0]}
+              AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
+              AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
+        """,
         "bbox_rows_3d_tidonly": f"""
             WITH {PTS_CTE}
             SELECT pid, x, y, z FROM pts
@@ -1062,6 +1091,7 @@ def build_queries():
         "bbox_rows_3d_full": q_bbox_rows_3d_full,
         "zkey3_decode": q_zkey3_decode,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
+        "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
         "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "zkey_encode": q_zkey_encode,
         "zkey3_decimal": q_zkey3_decimal,

@@ -126,10 +126,14 @@ def bbox_lookup_hilbert(
     of the reference's LITMAX/BIGMIN split loop, sp_query.c:324-356),
     bucket-IN pruning, exact per-dim refinement.  Same result contract
     as bbox_lookup; only the curve (and therefore the pruned key ranges)
-    differs."""
-    from ..plans.decompose import hilbert_covers
+    differs.  With 3 coord_cols the octree cover (hilbert3_covers) is
+    used over a hilbert3-keyed layout."""
+    from ..plans.decompose import hilbert3_covers, hilbert_covers
 
-    intervals = hilbert_covers(tuple(mins), tuple(maxs), order=order, budget=budget)
+    if len(coord_cols) == 3:
+        intervals = hilbert3_covers(tuple(mins), tuple(maxs), order=order, budget=budget)
+    else:
+        intervals = hilbert_covers(tuple(mins), tuple(maxs), order=order, budget=budget)
     if not intervals:
         return points.select(id_col, *coord_cols).limit(0)
     buckets, shift = interval_buckets(intervals)

@@ -313,3 +313,76 @@ def hilbert_covers(
     for a, b in zip(out, out[1:]):
         assert a.hi < b.lo, "hilbert cover produced overlapping intervals"
     return out
+
+
+def hilbert3_covers(
+    mins: tuple[int, int, int],
+    maxs: tuple[int, int, int],
+    order: int,
+    budget: int = 256,
+) -> list[Interval]:
+    """3D analog of :func:`hilbert_covers`: decompose the closed box into
+    disjoint HILBERT3-index intervals via octree-recursive cover.
+
+    Key property (verified numerically for the Skilling construction):
+    at order n the indices [i*8^s, (i+1)*8^s) for s = n - depth form
+    exactly one axis-aligned 2^s cube.  Splitting is budget-driven on a
+    waste max-heap (key-span minus box-intersection volume); any
+    budget >= 1 is exact under downstream per-dim refinement."""
+    from ..functions import curvekey as _ck
+
+    b0, b1 = tuple(mins), tuple(maxs)
+    if any(l > h for l, h in zip(b0, b1)):
+        return []
+    for v in (*b0, *b1):
+        if v < 0 or v >= (1 << order):
+            raise ValueError(f"coords out of [0, 2^{order}) domain")
+
+    import numpy as _np
+
+    def _dec(lo: int) -> tuple[int, int, int]:
+        x, y, z = _ck.unhilbert3(_np.array([lo], dtype=_np.uint64), order=order)
+        return int(x[0]), int(y[0]), int(z[0])
+
+    solid_out: list[Interval] = []
+    heap: list[tuple[int, int, int, int]] = []  # (-waste, lo, depth, i)
+
+    def classify(d: int, i: int) -> None:
+        s = order - d
+        lo = i << (3 * s)
+        p = _dec(lo)
+        c0 = tuple((v >> s) << s for v in p)
+        c1 = tuple(v + (1 << s) - 1 for v in c0)
+        if any(a > h or b < l for a, b, l, h in zip(c0, c1, b0, b1)):
+            return  # disjoint
+        hi = lo + (1 << (3 * s)) - 1
+        if all(a >= l and b <= h for a, b, l, h in zip(c0, c1, b0, b1)):
+            solid_out.append(Interval(lo, hi, True))
+            return
+        inter = 1
+        for a, b, l, h in zip(c0, c1, b0, b1):
+            inter *= min(b, h) - max(a, l) + 1
+        heapq.heappush(heap, (-(hi - lo + 1 - inter), lo, d, i))
+
+    classify(0, 0)
+    while heap and (len(heap) + len(solid_out)) < budget:
+        _, lo, d, i = heapq.heappop(heap)
+        if d == order:  # single point can't be partial; defensive
+            solid_out.append(Interval(lo, lo, True))
+            continue
+        for c in range(8):
+            classify(d + 1, i * 8 + c)
+
+    ivs = solid_out + [
+        Interval(lo, lo + (1 << (3 * (order - d))) - 1, False) for _, lo, d, _ in heap
+    ]
+    ivs.sort(key=lambda iv: iv.lo)
+    out: list[Interval] = []
+    for iv in ivs:
+        if out and out[-1].hi + 1 == iv.lo:
+            out[-1] = Interval(out[-1].lo, iv.hi, out[-1].solid and iv.solid)
+        else:
+            out.append(iv)
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo, "hilbert3 cover produced overlapping intervals"
+    return out
