@@ -688,6 +688,70 @@ def q_lsh_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash recall: plant exact duplicates (every 40th
+    doc re-inserted under a shifted id) and ask for hamming <= 0 — one
+    48-bit band, so only identical fingerprints collide, and identical
+    texts ALWAYS do.  Keeping text-equal pairs makes the result exactly
+    SQL-expressible (rare different-text fingerprint collisions are
+    filtered identically on both sides by the text-equality join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 20_000_000
+    )
+    alld = docs.unionByName(extra)
+    pairs = DD.simhash_neardup_pairs(alld, max_hamming=0)
+    ta = alld.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
+    tb = alld.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
+    return (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator in the oracle gate: the
+    applyInPandasWithState gap-sessionizer runs availableNow over the
+    events table; output restricted to sessions closed by a FOLLOWING
+    event (session_end < that user's max event time).  Those closures
+    are emitted deterministically as the closing event is processed —
+    independent of watermark progression — while timeout-closed and
+    still-open trailing sessions are excluded on both sides, so
+    stream == batch SQL exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.sessions import streaming_sessionize
+
+    d = tempfile.mkdtemp(prefix="zstream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sess = streaming_sessionize(stream, gap_seconds=1800, watermark="2 hours")
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last = static.groupBy("user_id").agg(
+        F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("mx_es")
+    )
+    return (
+        spark.table(qname)
+        .join(last, "user_id")
+        .filter(F.col("session_end") < F.col("mx_es"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat with nprobe == n_cells probes every cell, so the result
     is EXACTLY the brute-force top-k (same quantized dots, same
@@ -931,6 +995,40 @@ def _oracle_sql() -> dict[str, str]:
                   * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 4
                   >= a.n2 * b.n2
         """,
+        "simhash_exact_dups": """
+            WITH alld AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 40 = 0
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
+            FROM alld a JOIN alld b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "streaming_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, es,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g
+            ), agg AS (
+              SELECT user_id, session_idx,
+                     CAST(min(es) AS BIGINT) AS session_start,
+                     CAST(max(es) AS BIGINT) AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM s GROUP BY user_id, session_idx
+            ), mx AS (SELECT user_id, max(es) AS mx_es FROM g GROUP BY user_id)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events
+            FROM agg a JOIN mx ON a.user_id = mx.user_id
+            WHERE a.session_end < mx.mx_es
+        """,
         "minhash_exact_dups": """
             WITH alldocs AS (
               SELECT doc_id, text FROM documents
@@ -1116,6 +1214,8 @@ def build_queries():
         "events_hourly": q_events_hourly,
         "streaming_tile_counts": q_streaming_tile_counts,
         "minhash_exact_dups": q_minhash_exact_dups,
+        "simhash_exact_dups": q_simhash_exact_dups,
+        "streaming_sessionize": q_streaming_sessionize,
         "lsh_ann_exact": q_lsh_ann_exact,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         # rows-only (non-SQL-expressible or engine-specific hashes)
