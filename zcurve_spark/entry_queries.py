@@ -124,12 +124,30 @@ POLYGONS = [
     convex_polygon(2, 450_000, 750_000, 150_000, 8, seed=5),
 ]
 
+CONCAVE_POLYGONS = [  # non-convex shapes: the ray-cast refine is general
+    {"poly_id": 0, "vertices": [(650000, 500000), (548541, 535267), (546353, 642658), (481459, 557063), (378647, 588168), (440000, 500000), (378647, 411832), (481459, 442937), (546353, 357342), (548541, 464733)]},  # 10-point star
+    {"poly_id": 1, "vertices": [(100000, 100000), (300000, 100000), (300000, 300000),
+                                (250000, 300000), (250000, 150000), (150000, 150000),
+                                (150000, 300000), (100000, 300000)]},  # U-shape
+]
+
 RASTER_CELLS = [  # (tx, ty) at level 8 (shift 12); domain>>12 = 244
     (12, 34), (99, 180), (200, 40), (150, 150), (7, 210), (230, 230), (60, 120), (180, 75),
 ]
 
 ANN_QUERY_IDS = [0, 1, 2, 3]
 ANN_K = 5
+
+
+def _poly_edges_values_for(polys: list[dict]) -> str:
+    rows = []
+    for p in polys:
+        vs = p["vertices"]
+        for j in range(len(vs)):
+            ex, ey = vs[j]
+            fx, fy = vs[(j + 1) % len(vs)]
+            rows.append(f"({p['poly_id']}, {ex}, {ey}, {fx}, {fy})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(poly_id, ex, ey, fx, fy)"
 
 
 def _poly_edges_values() -> str:
@@ -391,6 +409,23 @@ def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_lineitem(spark, sf_dir)
     hits = pip_join(pts, POLYGONS, bits=BITS)
     polys = spark.createDataFrame([(p["poly_id"],) for p in POLYGONS], "poly_id long")
+    agg = hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+    return polys.join(agg, "poly_id", "left").select(
+        "poly_id", F.coalesce("n_points", F.lit(0)).alias("n_points")
+    )
+
+
+def q_pip_count_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join over NON-convex polygons (star + U-shape): the tile
+    classification and integer ray-cast refine are general, not
+    convex-only — the oracle is a faithful SQL transcription of the same
+    parity + on-edge ray cast (the convex query's half-plane oracle
+    cannot express these shapes)."""
+    pts = points_from_lineitem(spark, sf_dir)
+    hits = pip_join(pts, CONCAVE_POLYGONS, bits=BITS)
+    polys = spark.createDataFrame(
+        [(p["poly_id"],) for p in CONCAVE_POLYGONS], "poly_id long"
+    )
     agg = hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
     return polys.join(agg, "poly_id", "left").select(
         "poly_id", F.coalesce("n_points", F.lit(0)).alias("n_points")
@@ -914,6 +949,33 @@ def _oracle_sql() -> dict[str, str]:
             LEFT JOIN inside i ON p.poly_id = i.poly_id
             GROUP BY p.poly_id
         """,
+        "pip_count_concave": f"""
+            WITH {PTS_CTE},
+            gp AS (SELECT pid, x, y, count(*) AS mult FROM pts GROUP BY pid, x, y),
+            t AS (
+              SELECT e.poly_id, g.pid, g.x, g.y, g.mult,
+                     sum(CASE WHEN (e.ey > g.y) != (e.fy > g.y)
+                               AND (CASE WHEN e.fy > e.ey
+                                         THEN (g.x - e.ex) * (e.fy - e.ey)
+                                              < (e.fx - e.ex) * (g.y - e.ey)
+                                         ELSE (g.x - e.ex) * (e.fy - e.ey)
+                                              > (e.fx - e.ex) * (g.y - e.ey) END)
+                          THEN 1 ELSE 0 END) AS crossings,
+                     max(CASE WHEN (e.fx - e.ex) * (g.y - e.ey)
+                                   - (e.fy - e.ey) * (g.x - e.ex) = 0
+                               AND g.x BETWEEN least(e.ex, e.fx) AND greatest(e.ex, e.fx)
+                               AND g.y BETWEEN least(e.ey, e.fy) AND greatest(e.ey, e.fy)
+                          THEN 1 ELSE 0 END) AS on_edge
+              FROM gp g CROSS JOIN {_poly_edges_values_for(CONCAVE_POLYGONS)}
+              GROUP BY e.poly_id, g.pid, g.x, g.y, g.mult
+            )
+            SELECT p.poly_id, CAST(coalesce(sum(CASE WHEN crossings % 2 = 1
+                                                      OR on_edge = 1
+                                                 THEN mult END), 0) AS BIGINT) AS n_points
+            FROM (VALUES (0), (1)) p(poly_id)
+            LEFT JOIN t ON p.poly_id = t.poly_id
+            GROUP BY p.poly_id
+        """,
         "raster_assign": f"""
             WITH {PTS_CTE},
             cells(cell_id, tx, ty) AS (VALUES {cells_vals})
@@ -1197,6 +1259,7 @@ def build_queries():
         "tile_counts_salted": q_tile_counts_salted,
         "knn": q_knn,
         "pip_count": q_pip_count,
+        "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
         "raster_assign_pruned": q_raster_assign_pruned,
         "dedup_exact": q_dedup_exact,
