@@ -563,6 +563,49 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: each click matched to the user's
+    latest view at most 2 hours before it; clicks whose only match is
+    older are dropped (inner semantics)."""
+    from .operators.events import asof_join_tolerance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join_tolerance(clicks, views, key="user_id", tolerance_seconds=7200,
+                            right_vals=("value",))
+    return j.filter(F.col("ts_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.floor(F.col("value_r") * 1000).cast("long").alias("view_v_milli"),
+    )
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via 1D time-bucketing (the curve-bucket machinery on
+    the time axis): every (view, click) pair of the same user with the
+    click inside [view_ts, view_ts + 3600s], WITHOUT the nested-loop plan
+    a naive non-equi join compiles to."""
+    from .operators.events import interval_join_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "es", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("es").alias("start_es"),
+        (F.col("es") + 3600).alias("end_es"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("es").alias("ts_es")
+    )
+    j = interval_join_bucketed(views, clicks, key="user_id", bucket_width=300)
+    return j.select("view_id", "click_id")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap per user."""
     from .operators.events import session_stats
@@ -1161,6 +1204,26 @@ def _oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
+        "events_asof_tolerance": """
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+                   CAST(floor(v.value * 1000) AS BIGINT) AS view_v_milli
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            WHERE CAST(floor(epoch(c.ts)) AS BIGINT)
+                  - CAST(floor(epoch(v.ts)) AS BIGINT) <= 7200
+        """,
+        "events_interval_join": """
+            SELECT v.event_id AS view_id, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND CAST(floor(epoch(c.ts)) AS BIGINT)
+                 BETWEEN CAST(floor(epoch(v.ts)) AS BIGINT)
+                     AND CAST(floor(epoch(v.ts)) AS BIGINT) + 3600
+        """,
         "events_sessionize": """
             WITH g AS (
               -- floor(epoch) per timestamp matches Spark's unix_timestamp
@@ -1272,6 +1335,8 @@ def build_queries():
         "hilbert_roundtrip": q_hilbert_roundtrip,
         "hilbert3_roundtrip": q_hilbert3_roundtrip,
         "events_asof": q_events_asof,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "events_interval_join": q_events_interval_join,
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,

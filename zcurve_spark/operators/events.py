@@ -101,3 +101,78 @@ def session_stats(
             F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))
         ).alias("duration_sec"),
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: tuple[str, ...] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join with a bounded lookback: the matched right row must be
+    within `tolerance_seconds` at or before the left timestamp, else the
+    match is nulled out (left rows survive).  Same one-shuffle plan as
+    :func:`asof_join`; the tolerance is a post-window column condition."""
+    j = asof_join(
+        left, right, key,
+        left_ts=left_ts, right_ts=right_ts, right_vals=right_vals, suffix=suffix,
+    )
+    rts = f"{right_ts}{suffix}"
+    within = (
+        F.col(rts).isNotNull()
+        & (
+            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(rts))
+            <= tolerance_seconds
+        )
+    )
+    out = j
+    for c in (right_ts, *right_vals):
+        cc = f"{c}{suffix}"
+        out = out.withColumn(cc, F.when(within, F.col(cc)))
+    return out
+
+
+def interval_join_bucketed(
+    intervals: DataFrame,
+    points: DataFrame,
+    *,
+    key: str | None = None,
+    start_col: str = "start_es",
+    end_col: str = "end_es",
+    ts_col: str = "ts_es",
+    bucket_width: int = 300,
+) -> DataFrame:
+    """Closed-interval join (start <= ts <= end) WITHOUT a nested loop —
+    the 1D-time analog of the curve-bucket spatial join: each interval
+    explodes to its covering time buckets (span/width + 1 rows, bounded
+    for bounded intervals), each point lands in exactly ONE bucket, the
+    join is a plain equi-join on (bucket[, key]) plus exact refinement.
+    A point's single bucket meets each interval's cover at most once, so
+    qualifying pairs appear exactly once — no dedup pass.  All three
+    time columns are epoch-second LONGs (callers convert timestamps),
+    keeping the bucket arithmetic engine-exact.
+
+    Naive `a.join(b, a.start <= b.ts & b.ts <= a.end)` compiles to a
+    BroadcastNestedLoopJoin — quadratic and undistributable at 10^12
+    rows; this is the shuffle-partitionable replacement."""
+    w = int(bucket_width)
+    ivs = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_b", F.floor(F.col(ts_col) / w).cast("long"))
+    on = ["_b", key] if key else ["_b"]
+    return (
+        ivs.join(pts, on)
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_b")
+    )
