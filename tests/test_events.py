@@ -90,3 +90,53 @@ class TestSessionize:
         )
         st = session_stats(ev, gap_seconds=1800).collect()
         assert len(st) == 1 and st[0].n_events == 2 and st[0].duration_sec == 600
+
+
+class TestAsofTolerance:
+    def test_nulls_beyond_tolerance(self, spark):
+        from zcurve_spark.operators.events import asof_join_tolerance
+
+        clicks = spark.createDataFrame(
+            [(10, 1, _ts("2024-01-01 10:00:00")), (11, 1, _ts("2024-01-01 12:00:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        views = spark.createDataFrame(
+            [(1, _ts("2024-01-01 09:55:00"), 1.5)],
+            "user_id long, ts timestamp, value double",
+        )
+        j = asof_join_tolerance(
+            clicks, views, key="user_id", tolerance_seconds=600, right_vals=("value",)
+        )
+        rows = {r.event_id: r for r in j.collect()}
+        assert rows[10].ts_r is not None and rows[10].value_r == 1.5  # 5 min back
+        assert rows[11].ts_r is None and rows[11].value_r is None  # 2h05 back
+
+
+class TestIntervalJoinBucketed:
+    def test_matches_naive_join_and_no_dups(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from zcurve_spark.operators.events import interval_join_bucketed
+
+        random.seed(3)
+        ivs = [(i, random.randrange(0, 100_000)) for i in range(300)]
+        intervals = spark.createDataFrame(
+            [(i, s, s + random.randrange(0, 2000)) for i, s in ivs],
+            "iid long, start_es long, end_es long",
+        )
+        points = spark.createDataFrame(
+            [(j, random.randrange(0, 102_000)) for j in range(500)],
+            "pid long, ts_es long",
+        )
+        got = interval_join_bucketed(
+            intervals, points, bucket_width=300
+        ).select("iid", "pid")
+        naive = intervals.join(
+            points,
+            (F.col("ts_es") >= F.col("start_es")) & (F.col("ts_es") <= F.col("end_es")),
+        ).select("iid", "pid")
+        g = sorted(map(tuple, got.collect()))
+        n = sorted(map(tuple, naive.collect()))
+        assert g == n and len(g) == len(set(g))  # exact AND duplicate-free
