@@ -196,3 +196,26 @@ class TestMinhashCheckpoint:
         # changed fingerprint -> stage rebuilt
         minhash_lsh_pairs(docs, verify_min_jaccard_milli=100, checkpoint=(sr, "fp-b")).count()
         assert os.path.getmtime(mpath) > t1
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from zcurve_spark.operators.dedup import connected_components
+
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "a_id long, b_id long",
+        )
+        got = {r.id: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from zcurve_spark.operators.dedup import connected_components
+
+        n = 12  # diameter 12 > default propagation rounds if unbounded were wrong
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+        )
+        got = {r.id: r.component for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0} and len(got) == n + 1

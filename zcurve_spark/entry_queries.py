@@ -459,6 +459,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram Jaccard pairs (same workload as
+    `ngram_jaccard`) grouped into connected components by iterative
+    min-label propagation — the canonical-document stage of a dedup
+    pipeline.  The oracle rebuilds the same pairs in SQL and resolves
+    components with a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(docs, min_jaccard_milli=10)
+    return DD.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1057,6 +1070,34 @@ def _oracle_sql() -> dict[str, str]:
                        / greatest(len(a.grams) + len(b.grams)
                                   - len(list_intersect(a.grams, b.grams)), 1)) AS BIGINT) >= 10
         """,
+        "dedup_components": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id, lang,
+                       list_distinct(
+                         CASE WHEN len(w) < 3 THEN []
+                              ELSE list_transform(generate_series(1, len(w) - 2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         END) AS grams
+                FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CAST(floor(1000.0 * len(list_intersect(a.grams, b.grams))
+                         / greatest(len(a.grams) + len(b.grams)
+                                    - len(list_intersect(a.grams, b.grams)), 1)) AS BIGINT) >= 10
+            ),
+            e AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ),
+            walk(id, lbl) AS (
+              SELECT DISTINCT src, src FROM e
+              UNION
+              SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.id
+            )
+            SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id
+        """,
         "text_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1327,6 +1368,7 @@ def build_queries():
         "raster_assign_pruned": q_raster_assign_pruned,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,

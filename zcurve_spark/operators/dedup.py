@@ -317,3 +317,60 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair relation — the final stage of a
+    dedup pipeline (cluster near-dup pairs, then keep one canonical doc
+    per component).  Output (id, component) with component = the
+    minimum member id, for every id incident to an edge.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels — one shuffle per
+    round, converging in O(component diameter) rounds (near-dup clusters
+    are shallow; the driver loop is bounded by max_iter and stops early
+    when no label changes).  localCheckpoint() cuts the growing lineage
+    so round N's plan does not replay rounds 1..N-1."""
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lab, sym.dst == lab.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            lab.join(nbr, lab.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab.select("id", F.col("lbl").alias("component"))
