@@ -483,6 +483,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-100 token frequencies — vocabulary building as a
+    two-stage aggregate with a deterministic tiebreak."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.top_tokens(docs, k=100)
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash train/val/test assignment: reproducible
+    across engines and re-runs without storing membership."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.md5_split("doc_id").alias("split"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
@@ -1108,6 +1122,27 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
             FROM documents
         """,
+        "top_tokens": """
+            WITH t AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token),
+            r AS (
+              SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+              FROM c
+            )
+            SELECT rank, token, n FROM r WHERE rank <= 100
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                             < (65536 * 80 // 100) THEN 'train'
+                        WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                             < (65536 * 90 // 100) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "lang_id": _lang_id_sql(),
         "ann_topk": f"""
             WITH v AS (
@@ -1371,6 +1406,8 @@ def build_queries():
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "top_tokens": q_top_tokens,
+        "train_val_split": q_train_val_split,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "zkey_decode": q_zkey_decode,

@@ -105,3 +105,37 @@ def fingerprint(text_col, *, window: int = 8) -> Column:
         )
     )
     return F.array_min(F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit((1 << 62) - 1))))
+
+
+def md5_split(id_col, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test assignment from the md5 hex of the id:
+    the first 4 hex digits give a uniform value in [0, 65536); thresholds
+    at train_pct/val_pct of that range.  md5 of the same string is
+    engine-identical (Spark, DuckDB, Python), so splits are reproducible
+    anywhere — the property a 10^12-doc pipeline needs so re-runs and
+    downstream systems agree on membership without a join."""
+    h = F.conv(F.substring(F.md5(_c(id_col).cast("string")), 1, 4), 16, 10).cast("long")
+    t_hi = 65536 * train_pct // 100
+    v_hi = 65536 * (train_pct + val_pct) // 100
+    return (
+        F.when(h < t_hi, F.lit("train"))
+        .when(h < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def top_tokens(docs, k: int = 100, text_col: str = "text"):
+    """Exact top-k token frequencies (vocabulary building): explode ->
+    two-stage count (map-side partial agg) -> deterministic top-k
+    (count desc, token asc).  At 10^12 docs the partial agg means the
+    shuffle carries one row per (partition, token), not per occurrence."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(F.split(_c(text_col), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n")
+    )
