@@ -480,6 +480,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_token_count("text").alias("n_bpe_tokens"),
         TX.quality_score_milli("text", "n_chars").alias("quality_milli"),
         TX.punct_count("text").alias("n_punct"),
+        TX.stopword_count("text").alias("n_stopwords"),
     )
 
 
@@ -1119,7 +1120,8 @@ def _oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bpe_tokens,
                    CAST(floor(1000.0 * len(string_split(text, ' '))
                         / greatest(n_chars, 1)) AS BIGINT) AS quality_milli,
-                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) // 5 + (length(text) - length(replace(text, ' and ', ''))) // 5 + (length(text) - length(replace(text, ' of ', ''))) // 4 + (length(text) - length(replace(text, ' to ', ''))) // 4 + (length(text) - length(replace(text, ' in ', ''))) // 4 AS BIGINT) AS n_stopwords
             FROM documents
         """,
         "top_tokens": """

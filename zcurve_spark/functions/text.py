@@ -139,3 +139,17 @@ def top_tokens(docs, k: int = 100, text_col: str = "text"):
         .filter(F.col("rank") <= k)
         .select("rank", "token", "n")
     )
+
+
+STOPWORDS = (" the ", " and ", " of ", " to ", " in ")
+
+
+def stopword_count(text_col):
+    """Non-overlapping occurrence count of a fixed stopword list (padded
+    tokens, so substrings of larger words don't count) — the stopword
+    component of quality scoring.  Pure replace-length arithmetic, so
+    any SQL engine reproduces it exactly."""
+    out = F.lit(0).cast("long")
+    for w in STOPWORDS:
+        out = out + occurrences(text_col, w)
+    return out.cast("long")
