@@ -200,7 +200,12 @@ def main() -> None:
     def bbox_batch():
         bdf = boxes_df(spark, boxes)
         bivs, shift = bucketed_intervals_df(spark, boxes, bits=BITS, budget=16)
-        return count_hits(bdf, bbox_join_bucketed(pts, bdf, bivs, shift)).count()
+        # SUM the hit counts, don't count() rows: count() over the left
+        # join references no join output, so Catalyst ELIMINATES the
+        # entire points subtree and the benchmark measures nothing
+        # (verified: the optimized count() plan has no Range scan).
+        hits = count_hits(bdf, bbox_join_bucketed(pts, bdf, bivs, shift))
+        return hits.agg(F.sum("n_hits")).collect()[0][0]
 
     run("bbox_batch", bbox_batch)
 
