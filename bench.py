@@ -310,7 +310,14 @@ def main() -> None:
 
     # --- minhash dedup ---
     d = amplify_docs(fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")), mult)
-    run("minhash_dedup", lambda: minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count())
+
+    def minhash_dedup():
+        # see bench_scaling.py: identical-plan cache reuse would otherwise
+        # make warm reps measure cached-signature reads, not the pipeline
+        spark.catalog.clearCache()
+        return minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count()
+
+    run("minhash_dedup", minhash_dedup)
 
     # --- ANN top-k ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
