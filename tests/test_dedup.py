@@ -114,6 +114,40 @@ class TestSimhash:
         assert len(found & near) >= 15
 
 
+class TestSimhashKernelEquivalence:
+    def test_exploded_aggs_match_column_form(self, docs_with_dups):
+        """The scale-path kernel (explode -> 48 codegen'd conditional-sum
+        aggs) must be BIT-IDENTICAL to the reference HOF Column form —
+        the proof that the r3 performance rewrite changed no values."""
+        from zcurve_spark.operators.dedup import simhash_col, simhash_fingerprints
+
+        ref = {
+            r.id: r.sh
+            for r in docs_with_dups.select(
+                F.col("doc_id").alias("id"), simhash_col("text").alias("sh")
+            ).collect()
+        }
+        got = {
+            r.id: r.sh for r in simhash_fingerprints(docs_with_dups).collect()
+        }
+        assert got == ref
+
+    def test_empty_and_single_token_texts(self, spark):
+        from zcurve_spark.operators.dedup import simhash_col, simhash_fingerprints
+
+        d = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "a b"), (4, "  ")], "doc_id long, text string"
+        )
+        ref = {
+            r.id: r.sh
+            for r in d.select(
+                F.col("doc_id").alias("id"), simhash_col("text").alias("sh")
+            ).collect()
+        }
+        got = {r.id: r.sh for r in simhash_fingerprints(d).collect()}
+        assert got == ref
+
+
 class TestSimhashBandingGuarantee:
     def test_bands_for_derivation(self):
         from zcurve_spark.operators.dedup import simhash_bands_for

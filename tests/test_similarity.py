@@ -152,3 +152,72 @@ def test_ivf_topk_recall_vs_exact(spark, emb, mats):
     pd_exact = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
     pd_full = full.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert pd_full.equals(pd_exact)
+
+
+def test_rademacher_kernel_equivalence(emb):
+    """The scale-path sketch kernel (posexplode -> per-plane codegen'd
+    sum aggs) must be BIT-IDENTICAL to the HOF Column twin — proof the
+    r3 performance rewrite changed no values."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.operators.similarity import (
+        _rademacher_sketch,
+        rademacher_sketches,
+    )
+
+    ref = {
+        r.id: list(r.sk)
+        for r in emb.select(
+            F.col("vec_id").alias("id"), _rademacher_sketch("embedding", 16).alias("sk")
+        ).collect()
+    }
+    got = {r.id: list(r.sk) for r in rademacher_sketches(emb, n_planes=16).collect()}
+    assert got == ref
+
+
+def test_ivf_routing_kernel_equivalence(emb):
+    """Arrow-matmul cell routing must match the Column-expression twin
+    exactly (same quantization, same first-max tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_cell_udf,
+        ivf_seeds,
+    )
+
+    seeds = ivf_seeds(emb, 16, lloyd_iters=0)
+    ref = {
+        r.id: r.c
+        for r in emb.select(
+            F.col("vec_id").alias("id"), ivf_cell_expr("embedding", seeds).alias("c")
+        ).collect()
+    }
+    got = {
+        r.id: r.c
+        for r in emb.select(
+            F.col("vec_id").alias("id"), ivf_cell_udf("embedding", seeds).alias("c")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ivf_lloyd_seeds_deterministic_and_balanced(emb):
+    """Lloyd refinement is partitioning-independent (exact int sums +
+    floor division) and must not worsen cell balance vs raw seeds."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.operators.similarity import ivf_cell_udf, ivf_seeds
+
+    s1 = ivf_seeds(emb, 8, lloyd_iters=2)
+    s2 = ivf_seeds(emb.repartition(7), 8, lloyd_iters=2)
+    assert s1 == s2
+
+    def max_cell(seeds):
+        counts = (
+            emb.select(ivf_cell_udf("embedding", seeds).alias("c"))
+            .groupBy("c").count().collect()
+        )
+        return max(r["count"] for r in counts)
+
+    assert max_cell(s1) <= max_cell(ivf_seeds(emb, 8, lloyd_iters=0))

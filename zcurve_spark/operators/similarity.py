@@ -16,6 +16,8 @@ Two paths, both JVM-side (no Python in the hot loop):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,21 +69,64 @@ def ann_topk(
     )
 
 
+def _plane_r(p: int, pos_col):
+    """Rademacher entry r(p, d) in {-1, +1} from xxhash64(p, d) —
+    deterministic, engine-independent."""
+    return (
+        (F.shiftrightunsigned(F.xxhash64(F.lit(int(p)), pos_col), 1) % 2) * 2 - 1
+    ).cast("long")
+
+
 def _rademacher_sketch(vec_col, n_planes: int):
-    """array<long> sign sketch: plane p = sign(sum_d r(p,d) * x_d) with
-    r in {-1,+1} from xxhash64(p, d) — deterministic, JVM-only."""
+    """array<long> sign sketch: plane p = sign(sum_d r(p,d) * q_d) over
+    the QUANTIZED vector (exact integer sums — order-independent, so the
+    per-row and exploded forms agree bit-for-bit).
+
+    REFERENCE TWIN ONLY: higher-order functions are CodegenFallback
+    (interpreted); the scale path is :func:`rademacher_sketches`
+    (explode -> per-plane codegen'd sum aggregates), cross-checked
+    identical in tests/test_similarity.py."""
+    v = quantized(vec_col)
+
     def plane_sign(p):
-        prods = F.transform(
-            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-            lambda x, i: x
-            * (
-                (F.shiftrightunsigned(F.xxhash64(F.lit(int(p)), i), 1) % 2) * 2 - 1
-            ).cast("double"),
-        )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        prods = F.transform(v, lambda x, i: x * _plane_r(p, i))
+        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
         return (s >= 0).cast("long")
 
     return F.array(*[plane_sign(p) for p in range(n_planes)])
+
+
+def rademacher_sketches(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+) -> DataFrame:
+    """(id, sk array<long>) sign sketches — the SCALE-PATH kernel.
+
+    posexplode the quantized vector -> n_planes codegen'd
+    ``sum(q_d * r(p, d))`` aggregates with map-side partial combine ->
+    one projection takes the signs.  Replaces the per-row HOF sweep
+    (:func:`_rademacher_sketch`, 16 interpreted passes per vector — the
+    measured ~100x MinHash CodegenFallback trap, commit 0b314ec).
+    Integer arithmetic throughout, so outputs are bit-identical to the
+    Column twin regardless of partitioning."""
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(quantized(vec_col)).alias("pos", "q"),
+    )
+    aggs = [
+        F.sum(F.col("q") * _plane_r(p, F.col("pos"))).alias(f"_p{p}")
+        for p in range(n_planes)
+    ]
+    sums = ex.groupBy("id").agg(*aggs)
+    return sums.select(
+        "id",
+        F.array(
+            *[(F.col(f"_p{p}") >= 0).cast("long") for p in range(n_planes)]
+        ).alias("sk"),
+    )
 
 
 def lsh_cosine_candidates(
@@ -99,7 +144,7 @@ def lsh_cosine_candidates(
     replacement for the crossJoin.
     """
     rows = n_planes // n_bands
-    sk = emb.select(F.col(id_col).alias("id"), _rademacher_sketch(vec_col, n_planes).alias("sk"))
+    sk = rademacher_sketches(emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes)
     bands = sk.select(
         "id",
         F.explode(
@@ -175,10 +220,12 @@ def cosine_neardup_pairs(
 
 def ivf_cell_expr(vec_col, seeds_q: list[list[int]]):
     """Column: index (0-based) of the nearest seed by quantized dot
-    product — the coarse quantizer routing of IVF-flat.  `seeds_q` are
-    driver-side quantized seed vectors (n_cells x dim ints, tiny); the
-    whole assignment is one projection over a literal array-of-arrays —
-    no join, no shuffle, pure JVM."""
+    product — the coarse quantizer routing of IVF-flat.
+
+    REFERENCE TWIN ONLY: the transform-over-seeds with a nested
+    aggregate dot product is interpreted (CodegenFallback); the scale
+    path is :func:`ivf_cell_udf` — an Arrow-batched numpy matmul,
+    cross-checked identical in tests/test_similarity.py."""
     sarr = F.array(*[
         F.array(*[F.lit(int(v)).cast("long") for v in s]) for s in seeds_q
     ])
@@ -187,16 +234,67 @@ def ivf_cell_expr(vec_col, seeds_q: list[list[int]]):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
-def ivf_seeds(emb: DataFrame, n_cells: int, *, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[int]]:
-    """Deterministic coarse-quantizer seeds: the n_cells lowest-id
-    vectors, quantized.  (A k-means refinement would drop in here; seed
-    choice only affects recall/balance, never correctness, because IVF
-    results are verified exactly within probed cells.)"""
+def ivf_cell_udf(vec_col, seeds_q: list[list[int]]):
+    """Column: nearest-seed index via an Arrow-batched numpy matmul —
+    the SCALE-PATH coarse-quantizer routing (one (batch x dim) @
+    (dim x n_cells) int64 matmul per Arrow batch, replacing the
+    interpreted HOF sweep of :func:`ivf_cell_expr`).  Exact integer
+    arithmetic: floor(x*QUANT) matches :func:`quantized`, np.argmax
+    first-max matches array_position-of-max, so outputs are identical
+    to the Column twin."""
+    S = np.array(seeds_q, dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Q = np.floor(V * float(QUANT)).astype(np.int64)
+        D = Q @ S.T
+        return pd.Series(np.argmax(D, axis=1).astype(np.int32))
+
+    return _cell(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def ivf_seeds(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list[list[int]]:
+    """Coarse-quantizer seeds: the n_cells lowest-id vectors (quantized),
+    refined by `lloyd_iters` rounds of k-means as DataFrame aggregations
+    (assign cells via the matmul routing, then per-(cell, dim) exact
+    integer mean -> floor).  Deterministic: sums/counts are exact int64
+    and the final division is Python floor division, so the refined
+    seeds are partitioning-independent.  Seed quality affects only
+    recall/balance, never correctness — IVF results are verified exactly
+    within probed cells."""
     rows = (
         emb.orderBy(F.col(id_col)).limit(n_cells)
         .select(quantized(vec_col).alias("q")).collect()
     )
-    return [list(r["q"]) for r in rows]
+    seeds = [list(r["q"]) for r in rows]
+    for _ in range(max(0, lloyd_iters)):
+        stats = (
+            emb.select(
+                ivf_cell_udf(vec_col, seeds).alias("cell"),
+                F.posexplode(quantized(vec_col)).alias("pos", "q"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"]) // int(r["n"])
+        seeds = [
+            [by_cell[c][p] for p in range(len(seeds[c]))] if c in by_cell else seeds[c]
+            for c in range(n_cells)
+        ]
+    return seeds
 
 
 def ivf_topk(
@@ -217,7 +315,7 @@ def ivf_topk(
     (qid, rank, vec_id, dot) — recall < 1 by design (pytest-verified
     against the exact path, not SQL-oracled)."""
     seeds = ivf_seeds(emb, n_cells, id_col=id_col, vec_col=vec_col)
-    cell = ivf_cell_expr(vec_col, seeds)
+    cell = ivf_cell_udf(vec_col, seeds)
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), quantized(vec_col).alias("cvec"), cell.alias("cell")
     )
