@@ -133,3 +133,41 @@ class TestBboxBatchJoin:
         for n in (1, 8, 32):
             got = bbox_lookup(pts.repartition(n), b["mins"], b["maxs"], bits=BITS).toPandas()
             assert _rowset(got) == exp
+
+
+class TestDistributedDecomposition:
+    def test_dist_intervals_match_driver_form(self, spark):
+        """bucketed_intervals_dist (mapInPandas, r3) must emit EXACTLY
+        the rows the driver-side loop emits, at the same bucket shift."""
+        boxes = [dict(b, qid=i) for i, b in enumerate(_big_boxes(20) + unaligned_boxes(4))]
+        ref, shift_ref = bucketed_intervals_df(spark, boxes, bits=BITS, budget=16)
+        from zcurve_spark.operators.bbox import bucketed_intervals_dist
+
+        got, shift = bucketed_intervals_dist(
+            boxes_df(spark, boxes), bits=BITS, budget=16, bucket_shift=shift_ref
+        )
+        key = lambda d: sorted(map(tuple, d.values.tolist()))
+        assert key(got.toPandas()) == key(ref.toPandas())
+
+    def test_dist_join_counts_match_brute_force(self, spark, pts, pdf):
+        """End-to-end through the distributed decomposition, with the
+        non-broadcast (shuffle hash) join path as well."""
+        from zcurve_spark.operators.bbox import bucketed_intervals_dist
+
+        boxes = [dict(b, qid=i) for i, b in enumerate(_big_boxes(10))]
+        bdf = boxes_df(spark, boxes)
+        for bc in (True, False):
+            bivs, shift = bucketed_intervals_dist(bdf, bits=BITS, budget=16)
+            hits = bbox_join_bucketed(pts, bdf, bivs, shift, broadcast_ivs=bc)
+            got = count_hits(bdf, hits).toPandas().set_index("qid").n_hits
+            for b in boxes:
+                assert got[b["qid"]] == len(_brute(pdf, b)), (bc, b)
+
+    def test_sampled_shift_is_deterministic(self, spark):
+        from zcurve_spark.operators.bbox import bucketed_intervals_dist
+
+        boxes = [dict(b, qid=i) for i, b in enumerate(_big_boxes(50))]
+        bdf = boxes_df(spark, boxes)
+        _, s1 = bucketed_intervals_dist(bdf, bits=BITS, budget=16)
+        _, s2 = bucketed_intervals_dist(bdf.repartition(13), bits=BITS, budget=16)
+        assert s1 == s2

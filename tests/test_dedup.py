@@ -253,3 +253,32 @@ class TestConnectedComponents:
         )
         got = {r.id: r.component for r in connected_components(edges).collect()}
         assert set(got.values()) == {0} and len(got) == n + 1
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """Pointer doubling (r3): a diameter-80 chain must converge in
+        ~log2(80)+2 rounds, not 80 (min-label alone needs the full
+        eccentricity and would raise here)."""
+        from zcurve_spark.operators.dedup import connected_components
+
+        n = 80
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(edges, max_iter=9).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == n + 1
+
+    def test_nonconvergence_raises(self, spark):
+        """ADVICE r2: exhausting max_iter must raise, never silently
+        return partially-propagated labels."""
+        import pytest as _pytest
+
+        from zcurve_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "a_id long, b_id long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=2)

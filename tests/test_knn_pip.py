@@ -73,3 +73,49 @@ class TestPipKernel:
         got_set = sorted(map(tuple, hits[["pid", "x", "y"]].values.tolist()))
         exp_set = sorted(map(tuple, pdf[exp][["pid", "x", "y"]].values.tolist()))
         assert got_set == exp_set
+
+
+class TestKnnBatch:
+    def test_matches_per_query_brute_force(self, spark, pts, pdf):
+        from zcurve_spark.operators.knn import knn_batch
+
+        qs = [
+            {"qid": 0, "qx": 0, "qy": 0, "k": 3},
+            {"qid": 1, "qx": DOMAIN - 1, "qy": DOMAIN - 1, "k": 7},
+            {"qid": 2, "qx": DOMAIN // 2, "qy": DOMAIN // 2, "k": 1},
+            {"qid": 3, "qx": 500_000, "qy": 500_000, "k": 50},
+        ]
+        qdf = spark.createDataFrame(
+            [(q["qid"], q["qx"], q["qy"], q["k"]) for q in qs],
+            "qid long, qx long, qy long, k int",
+        )
+        got = knn_batch(qdf, points=pts, bits=BITS, domain=DOMAIN).toPandas()
+        for q in qs:
+            g = got[got.qid == q["qid"]].sort_values("rank")
+            assert (
+                list(map(tuple, g[["pid", "x", "y", "d2"]].values.tolist()))
+                == _brute_knn(pdf, q)
+            ), q
+
+    def test_large_batch_shuffle_join_path(self, spark, pts, pdf):
+        """broadcast_threshold=0 forces the shuffle-hash-join shape used
+        at 10^5+ queries; results must be identical to brute force."""
+        from zcurve_spark.operators.knn import knn_batch
+
+        qs = [
+            {"qid": i, "qx": (i * 97_003) % DOMAIN, "qy": (i * 193_007) % DOMAIN, "k": 5}
+            for i in range(40)
+        ]
+        qdf = spark.createDataFrame(
+            [(q["qid"], q["qx"], q["qy"], q["k"]) for q in qs],
+            "qid long, qx long, qy long, k int",
+        )
+        got = knn_batch(
+            qdf, points=pts, bits=BITS, domain=DOMAIN, broadcast_threshold=0
+        ).toPandas()
+        for q in qs:
+            g = got[got.qid == q["qid"]].sort_values("rank")
+            assert (
+                list(map(tuple, g[["pid", "x", "y", "d2"]].values.tolist()))
+                == _brute_knn(pdf, q)
+            ), q

@@ -194,3 +194,79 @@ class TestRealBmpCodec:
             i = int(r.media_ref.split("/")[-1])
             expect = decode_bmp(synth_bmp_blob(i))
             assert list(map(float, r.features)) == list(map(float, expect))
+
+
+class TestPngCodec:
+    def test_roundtrip_all_filter_types(self):
+        """encode(filter f) -> decode must reproduce pixels exactly for
+        every RFC 2083 filter type (None/Sub/Up/Average/Paeth)."""
+        import numpy as np
+
+        from zcurve_spark.sources.media import _png_pixels, png_encode, synth_png_blob
+
+        pix = _png_pixels(synth_png_blob(7, width=20, height=13))
+        for f in range(5):
+            again = _png_pixels(png_encode(pix, filter_type=f))
+            assert (again == pix).all(), f"filter {f}"
+
+    def test_png_and_bmp_same_content_same_features(self):
+        """synth_png_blob and synth_bmp_blob carry identical pixel
+        content, so the decoded features must agree exactly."""
+        import numpy as np
+
+        from zcurve_spark.sources.media import decode_bmp, decode_png, synth_bmp_blob, synth_png_blob
+
+        fb = decode_bmp(synth_bmp_blob(11))
+        fp = decode_png(synth_png_blob(11))
+        assert np.array_equal(fb, fp)
+
+    def test_codec_dispatch_routes_png(self):
+        import numpy as np
+
+        from zcurve_spark.sources.media import codec_decode, decode_png, synth_png_blob
+
+        b = synth_png_blob(3)
+        assert np.array_equal(codec_decode(b, "image"), decode_png(b))
+
+    def test_grayscale_and_rgba(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from zcurve_spark.sources.media import _PNG_SIG, _png_pixels
+
+        def enc(pix, color):
+            h, w = pix.shape[:2]
+            ch = 1 if color == 0 else 4
+            body = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+            def chunk(t, d):
+                return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+        g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+        out = _png_pixels(enc(g, 0))
+        assert out.shape == (4, 6, 3) and (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+
+        rgba = np.arange(4 * 6 * 4, dtype=np.uint8).reshape(4, 6, 4)
+        out = _png_pixels(enc(rgba, 6))
+        assert out.shape == (4, 6, 3) and (out == rgba[:, :, :3]).all()
+
+    def test_resize_images_handles_png_blobs(self, spark):
+        import numpy as np
+
+        from zcurve_spark.sources.media import _png_pixels, resize_images, synth_png_blob
+
+        rows = [(f"m{i}", synth_png_blob(i, width=30, height=20)) for i in range(4)]
+        df = spark.createDataFrame(rows, "media_ref string, blob binary")
+        out = {r.media_ref: r for r in resize_images(df, 8, 8).collect()}
+        for i in range(4):
+            r = out[f"m{i}"]
+            assert (r.width, r.height) == (8, 8)
+            pix = _png_pixels(bytes(r.blob))
+            # nearest-neighbor: every output pixel exists in the source
+            src = _png_pixels(synth_png_blob(i, width=30, height=20))
+            yi = (np.arange(8) * 20) // 8
+            xi = (np.arange(8) * 30) // 8
+            assert (pix == src[yi][:, xi]).all()

