@@ -50,7 +50,12 @@ import sys
 N_SPANS = int(os.environ.get("SPARK_GRAFT_SCALE_SPANS", 2_000_000_000))
 N_POINTS = int(os.environ.get("SPARK_GRAFT_SCALE_POINTS", 512_000_000))
 N_POINTS_BBOX = int(os.environ.get("SPARK_GRAFT_SCALE_POINTS_BBOX", 1_000_000_000))
-DOC_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_DOCMULT", 32))
+# doc multipliers are NOT scaled down for the small pair: the dedup rows
+# need enough scalable work (W) to dominate their per-job fixed cost at
+# 2 cores too (r2 VERDICT #3: the 46%-fixed-share input was measuring
+# stage-count overhead, not the engine)
+DOC_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_DOCMULT", 512))
+SIMHASH_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_SIMHASH_MULT", 768))
 PAIRS = [
     tuple(int(c) for c in p.split(":"))
     for p in os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2:8,8:32").split(",")
@@ -151,20 +156,32 @@ run("pip", pip)
 # (measured 227s vs 38s for the same 480k docs read back from parquet) —
 # the benchmark must measure the engine on a real input table, not the
 # test-data generator
-amp_path = f"/tmp/zcurve_stage/docs_x{DOC_MULT}"
-if not os.path.exists(amp_path + "/_SUCCESS"):
-    amplify_docs(
-        fan_out(spark.read.parquet("/root/testdata/sf0.1/documents.parquet")), DOC_MULT
-    ).write.mode("overwrite").parquet(amp_path)
-docs = fan_out(spark.read.parquet(amp_path))
+def amp(mult):
+    p = f"/tmp/zcurve_stage/docs_x{mult}"
+    if not os.path.exists(p + "/_SUCCESS"):
+        amplify_docs(
+            fan_out(spark.read.parquet("/root/testdata/sf0.1/documents.parquet")), mult
+        ).write.mode("overwrite").parquet(p)
+    return p
+
+docs = fan_out(spark.read.parquet(amp(DOC_MULT)))
 def minhash():
-    # drop the persisted signature relation between reps: Spark's
-    # CacheManager matches identical plans, so without this the timed
-    # reps reuse the warmup's cached signatures and measure only the
-    # local block manager's read contention (anti-scales at 32 threads)
+    # clearCache kept defensively; since r3 the pipeline caches nothing
+    # (recompute-over-cache: the local block manager serializes cached
+    # reads at 32 threads, and re-shingling is cheaper and scales)
     spark.catalog.clearCache()
     return minhash_lsh_pairs(docs, verify_min_jaccard_milli=100).count()
 run("minhash_dedup", minhash)
+
+# the r3 SimHash kernel (explode -> 48 codegen'd conditional-sum aggs):
+# fingerprints only, since the banding join's candidate volume depends
+# on corpus self-similarity, not on the kernel under test
+from zcurve_spark.operators.dedup import simhash_fingerprints
+SIMHASH_MULT = int(os.environ["SC_SIMHASH_MULT"])
+sdocs = fan_out(spark.read.parquet(amp(SIMHASH_MULT)))
+def simhash_fp():
+    return simhash_fingerprints(sdocs).agg(F.avg("sh")).collect()[0][0]
+run("simhash_fp", simhash_fp)
 
 spark.stop()
 print(json.dumps({"cores": CORES, "timings": timings}))
@@ -179,6 +196,7 @@ def run_at(cores: int, sizes: dict, *, retries: int = 1) -> dict:
         SC_POINTS=str(sizes["points"]),
         SC_POINTS_BBOX=str(sizes["points_bbox"]),
         SC_DOCMULT=str(sizes["doc_mult"]),
+        SC_SIMHASH_MULT=str(sizes["simhash_mult"]),
         SC_REPS=str(REPS),
     )
     for attempt in range(retries + 1):
@@ -204,9 +222,10 @@ def run_pair(lo: int, hi: int) -> dict:
         "spans": int(N_SPANS * scale),
         "points": int(N_POINTS * scale),
         "points_bbox": int(N_POINTS_BBOX * scale),
-        # floor: the docs input must stay compute-bound (10s+) even at the
-        # small pair — 40k docs measured 2.7s at 2 cores, pure latency
-        "doc_mult": max(16, int(DOC_MULT * scale)),
+        # NOT scaled by the pair (see top comment): the dedup rows need
+        # W >> F at the small core count
+        "doc_mult": DOC_MULT,
+        "simhash_mult": SIMHASH_MULT,
     }
     # alternate core counts across passes so a noisy-neighbor burst on
     # the shared host cannot bias one side; keep the min per query
@@ -252,7 +271,8 @@ def write_outputs(results: list[dict]) -> dict:
         "tile_assign": lambda s: f"{s['spans']:,} generated spans",
         "bbox_batch": lambda s: f"{s['points_bbox']:,} generated points x 200 boxes",
         "pip": lambda s: f"{s['points']:,} generated points x 3 polygons",
-        "minhash_dedup": lambda s: f"{500 * s['doc_mult'] * 10:,}-ish docs (sf0.1 x {s['doc_mult']})",
+        "minhash_dedup": lambda s: f"{5000 * s['doc_mult']:,} docs (sf0.1 x {s['doc_mult']})",
+        "simhash_fp": lambda s: f"{5000 * s['simhash_mult']:,} docs (sf0.1 x {s['simhash_mult']}), fingerprints",
     }
     json_pairs = {}
     for r in results:

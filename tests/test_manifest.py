@@ -148,3 +148,50 @@ def test_hilbert_store_pruned_lookup(spark, tmp_path_factory):
     ivs = hilbert_covers((200_000, 300_000), (230_000, 330_000), order=BITS, budget=64)
     m = load_manifest(path)
     assert 0 < len(prune_files(m, ivs)) < len(m["files"])
+
+
+class TestStoreParallelism:
+    def test_manifest_carries_target_parallelism(self, spark, tmp_path):
+        from zcurve_spark.sources.manifest import load_manifest, write_sorted
+
+        df = spark.range(1000).selectExpr("id as zkey", "id as v")
+        write_sorted(df, str(tmp_path / "s"), n_partitions=8)
+        m = load_manifest(str(tmp_path / "s"))
+        assert m["target_parallelism"] == 8
+
+    def test_read_store_restores_declared_parallelism(self, spark, tmp_path):
+        """A store compacted below its declared parallelism is scaled
+        back up by read_store — one source of truth (r2 VERDICT #10)."""
+        import json
+        import os
+
+        from zcurve_spark.sources.manifest import MANIFEST_NAME, load_manifest, write_sorted
+        from zcurve_spark.sources.store import read_store
+
+        p = str(tmp_path / "s2")
+        df = spark.range(1000).selectExpr("id as zkey", "id as v")
+        write_sorted(df, p, n_partitions=2)
+        # simulate an externally-compacted layout claiming higher target
+        m = load_manifest(p)
+        m["target_parallelism"] = 16
+        with open(os.path.join(p, MANIFEST_NAME), "w") as fh:
+            json.dump(m, fh)
+        out = read_store(spark, p)
+        assert out.rdd.getNumPartitions() >= 16
+        assert out.count() == 1000
+
+    def test_table_store_resumes(self, spark, tmp_path, monkeypatch):
+        import os
+
+        monkeypatch.setenv("SPARK_GRAFT_WORK_DIR", str(tmp_path))
+        from zcurve_spark.sources.manifest import load_manifest
+        from zcurve_spark.sources.store import read_store, table_store
+
+        p1 = table_store(spark, "/root/testdata/sf0.001", "documents", sort_col="doc_id")
+        t1 = os.path.getmtime(os.path.join(p1, "_zcurve_manifest.json"))
+        p2 = table_store(spark, "/root/testdata/sf0.001", "documents", sort_col="doc_id")
+        assert p1 == p2
+        assert os.path.getmtime(os.path.join(p2, "_zcurve_manifest.json")) == t1  # resumed
+        n_raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+        assert read_store(spark, p1).count() == n_raw
+        assert load_manifest(p1)["zkey_col"] == "doc_id"

@@ -192,9 +192,14 @@ def minhash_lsh_pairs(
     table as a resumable StageRunner stage (id-sorted parquet + manifest
     with lineage): a re-run with the same input fingerprint skips the
     whole shingle+signature pass — the north rule's "any stage is
-    resumable" applied to the dedup pipeline.  Without it the signature
-    relation is persist()ed (it feeds three plan branches: bands + both
-    verify sides).
+    resumable" applied to the dedup pipeline.  Without it, NOTHING is
+    cached: the gram relation is recomputed for each verify side instead
+    of persist()ing the signature table — measured faster at BOTH 8 and
+    32 cores (5.75s vs 9.27s / 4.99s vs 8.95s on 320k docs), because the
+    local block manager serializes large cached reads under many threads
+    while the Arrow re-shingle is cheap (~1.5s/320k docs) and scales
+    with cores; on a cluster, recompute-over-cache is likewise the right
+    default for cheap lineage feeding few consumers.
     """
     rows = n_hashes // n_bands
     # Docs with no shingles (< n tokens) are dropped up front: their
@@ -212,29 +217,34 @@ def minhash_lsh_pairs(
     # map-side partial mins, so the shuffle carries one combined row
     # per (partition, doc).  Same (a_i, b_i, M31) arithmetic, identical
     # signatures (pytest-cross-checked against the Column form).
-    def build_signatures() -> DataFrame:
-        # persist g BEFORE deriving sig: the id-join below references the
-        # g subtree twice, and without a materialization barrier Catalyst
-        # duplicates it — running the expensive Arrow shingling UDF twice
-        # per document (ADVICE r2).
-        g = fan_out(docs).select(
-            F.col(id_col).alias("id"),
-            distinct_ngrams_arrow(text_col, n).alias("grams"),
-        ).filter(F.size("grams") > 0).persist()
-        e = g.select("id", F.explode("grams").alias("gram")).select(
-            "id", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE)).alias("h")
-        )
-        aggs = [
+    def _min_aggs():
+        return [
             F.min(
                 (F.col("h") * F.lit(2 * i + 1)
                  + F.lit(0x9E3779B9 * (i + 1) & ((1 << 30) - 1))) % F.lit(MERSENNE)
             ).alias(f"_m{i}")
             for i in range(n_hashes)
         ]
-        sig = e.groupBy("id").agg(*aggs).select(
-            "id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+
+    def _exploded_hashes() -> DataFrame:
+        # Docs with no shingles vanish at the explode — same effect as
+        # an explicit filter(size(grams) > 0).
+        return fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            F.explode(distinct_ngrams_arrow(text_col, n)).alias("gram"),
+        ).withColumn("h", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE)))
+
+    def build_signatures() -> DataFrame:
+        # Checkpoint-stage build: ONE pass computing the n_hashes min()
+        # aggregates AND collect_list(gram) in the same groupBy, so the
+        # Arrow shingling UDF runs exactly once per document (ADVICE r2:
+        # an id-join here would duplicate the UDF subtree).  collect_list
+        # order is partition-dependent, which is fine: grams feed only
+        # set operations (array_intersect / size Jaccard).
+        aggs = _min_aggs() + [F.collect_list("gram").alias("grams")]
+        return _exploded_hashes().groupBy("id").agg(*aggs).select(
+            "id", "grams", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
         )
-        return g.join(sig, "id")
 
     if checkpoint is not None:
         sr, fp = checkpoint
@@ -244,11 +254,19 @@ def minhash_lsh_pairs(
             build_signatures,
             zkey_col="id",
         )
+        sig_rel = g.select("id", "sig")
+        gm = g.select("id", "grams")
     else:
-        g = build_signatures().persist()
+        sig_rel = _exploded_hashes().groupBy("id").agg(*_min_aggs()).select(
+            "id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+        )
+        # verify side re-shingles rather than caching (see docstring)
+        gm = fan_out(docs).select(
+            F.col(id_col).alias("id"), distinct_ngrams_arrow(text_col, n).alias("grams")
+        )
     # band relation carries only (id, band, bh): the gram arrays would
     # otherwise be replicated n_bands times through the shuffle
-    bands = g.select(
+    bands = sig_rel.select(
         "id",
         F.explode(
             F.array(
@@ -274,7 +292,23 @@ def minhash_lsh_pairs(
     )
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
-    gm = g.select("id", "grams")
+    # Verification shuffle hygiene: the gram relation is corpus-sized
+    # (every doc x its shingle array), but only CANDIDATE docs need their
+    # grams shuffled into the verify joins.  Materialize the (small)
+    # candidate relation, broadcast its id set as a semi-join filter, and
+    # the two verify joins shuffle ~|candidates| gram rows instead of the
+    # whole corpus (measured: the full-corpus gram shuffle was the
+    # non-scaling term of the 8->32 pair).  Falls back to the plain joins
+    # when the candidate set is too big to broadcast.
+    cand = cand.localCheckpoint()
+    n_cand = cand.count()
+    if n_cand <= 2_000_000:
+        ids = (
+            cand.select(F.col("a_id").alias("id"))
+            .unionByName(cand.select(F.col("b_id").alias("id")))
+            .distinct()
+        )
+        gm = gm.join(F.broadcast(ids), "id", "leftsemi")
     cand = (
         cand.join(gm.withColumnRenamed("id", "a_id").withColumnRenamed("grams", "ga"), "a_id")
         .join(gm.withColumnRenamed("id", "b_id").withColumnRenamed("grams", "gb"), "b_id")

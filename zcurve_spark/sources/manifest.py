@@ -82,6 +82,11 @@ def write_sorted(
         "zkey_col": zkey_col,
         "created_unix": int(time.time()),
         "n_partitions": n_partitions,
+        # the layout's intended scan parallelism — readers consult THIS
+        # (sources.store.read_store) instead of guessing from file
+        # counts, so hot paths never depend on accidental file layout
+        # (r2 VERDICT #10); at cluster scale a catalog carries it
+        "target_parallelism": n_partitions,
         "total_rows": sum(f["rows"] for f in files),
         "files": files,
         "lineage": lineage or {},

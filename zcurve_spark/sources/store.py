@@ -90,6 +90,50 @@ def hilbert_points_store(
     return sr.stage_path("points_hsorted")
 
 
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a materialized store at the parallelism ITS MANIFEST declares
+    (r2 VERDICT #10: one source of truth).  If the layout has at least
+    `target_parallelism` files (the normal case — write_sorted creates
+    one file per range partition), this is a plain scan; a coarser
+    layout (e.g. compacted externally) is repartitioned up to the
+    recorded target, so downstream operators never inherit accidental
+    single-file serialization and never need ad-hoc fan_out calls."""
+    df = spark.read.parquet(path)
+    m = load_manifest(path)
+    if m is None:
+        return df
+    target = int(m.get("target_parallelism") or m.get("n_partitions") or 0)
+    if target and len(m["files"]) < target:
+        return df.repartition(target)
+    return df
+
+
+def table_store(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    sort_col: str,
+    n_partitions: int = 32,
+) -> str:
+    """Materialize (or resume) ANY input table as a sorted + manifested
+    layout — the generic form of :func:`points_store` for non-point
+    tables (e.g. documents sorted by doc_id so dedup scans start from a
+    declared-parallelism, range-partitioned layout instead of whatever
+    file count the raw export happened to have)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sr = StageRunner(spark, os.path.join(work_root(), tag))
+    fp = _input_fingerprint(sf_dir, table, sort=sort_col, n_partitions=n_partitions)
+    sr.run(
+        f"{table}_sorted",
+        fp,
+        lambda: spark.read.parquet(f"{sf_dir}/{table}.parquet"),
+        zkey_col=sort_col,
+        n_partitions=n_partitions,
+    )
+    return sr.stage_path(f"{table}_sorted")
+
+
 def store_total_rows(path: str) -> int | None:
     m = load_manifest(path)
     return m["total_rows"] if m else None
