@@ -195,3 +195,41 @@ class TestStoreParallelism:
         n_raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
         assert read_store(spark, p1).count() == n_raw
         assert load_manifest(p1)["zkey_col"] == "doc_id"
+
+
+class TestDistributedPruning:
+    def test_read_pruned_df_matches_listwise_pruning(self, spark, tmp_path):
+        """read_pruned_df (interval DATAFRAME x manifest relation, r3)
+        must read exactly the files the driver-side prune_files picks."""
+        from pyspark.sql import functions as F
+
+        from zcurve_spark.plans.decompose import Interval
+        from zcurve_spark.sources.manifest import (
+            load_manifest,
+            prune_files,
+            read_pruned,
+            read_pruned_df,
+            write_sorted,
+        )
+
+        p = str(tmp_path / "store")
+        df = spark.range(100_000).selectExpr("id as zkey", "id % 97 as v")
+        write_sorted(df, p, n_partitions=16)
+        ivs = [Interval(1000, 2000, False), Interval(50_000, 50_100, False)]
+        ref = read_pruned(spark, p, ivs)
+        ivs_df = spark.createDataFrame(
+            [(iv.lo, iv.hi) for iv in ivs], "lo long, hi long"
+        )
+        got = read_pruned_df(spark, p, ivs_df)
+        assert sorted(got.inputFiles()) == sorted(ref.inputFiles())
+        assert got.count() == ref.count()
+        m = load_manifest(p)
+        assert len(prune_files(m, ivs)) < len(m["files"])  # pruning happened
+
+    def test_read_pruned_df_empty_intervals(self, spark, tmp_path):
+        from zcurve_spark.sources.manifest import read_pruned_df, write_sorted
+
+        p = str(tmp_path / "store2")
+        write_sorted(spark.range(1000).selectExpr("id as zkey"), p, n_partitions=4)
+        ivs_df = spark.createDataFrame([], "lo long, hi long")
+        assert read_pruned_df(spark, p, ivs_df).count() == 0

@@ -221,3 +221,27 @@ def test_ivf_lloyd_seeds_deterministic_and_balanced(emb):
         return max(r["count"] for r in counts)
 
     assert max_cell(s1) <= max_cell(ivf_seeds(emb, 8, lloyd_iters=0))
+
+
+def test_ivf_topk_batch_matches_per_query(spark, emb):
+    """Set-oriented IVF must equal the per-query path exactly — same
+    seeds, same probe order (stable argsort == driver loop tiebreak),
+    same within-cell ranking — at partial AND full probe counts, and
+    through the non-broadcast join shape."""
+    import pandas as pd
+
+    from zcurve_spark.operators.similarity import ivf_topk, ivf_topk_batch
+
+    qids = [0, 1, 2, 3, 7]
+    qdf = spark.createDataFrame([(int(i),) for i in qids], "qid long")
+    for nprobe in (4, 16):
+        ref = (
+            ivf_topk(emb, qids, 5, n_cells=16, nprobe=nprobe)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+        for bc in (True, False):
+            got = (
+                ivf_topk_batch(emb, qdf, 5, n_cells=16, nprobe=nprobe, broadcast_queries=bc)
+                .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, ref), (nprobe, bc)

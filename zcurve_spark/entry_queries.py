@@ -919,6 +919,19 @@ def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "rank", "vec_id", "dot")
 
 
+def q_ivf_topk_batch_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-ORIENTED IVF (r3): queries arrive as a DataFrame, probe cells
+    come from an Arrow matmul, nothing is collected.  With nprobe ==
+    n_cells the result is exactly the brute-force top-k, so it shares
+    the exhaustive oracle — batch == per-query == brute force is the
+    claim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = spark.createDataFrame([(int(i),) for i in ANN_QUERY_IDS], "qid long")
+    return SIM.ivf_topk_batch(
+        emb, qdf, ANN_K, n_cells=16, nprobe=16
+    ).select("qid", "rank", "vec_id", "dot")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1335,6 +1348,24 @@ def _oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rank, vec_id, dot FROM r WHERE rank <= {ANN_K}
         """,
+        "ivf_topk_batch_exhaustive": f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            d AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                     CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot
+              FROM v q CROSS JOIN v c
+              WHERE q.vec_id IN ({ann_ids}) AND c.vec_id != q.vec_id
+            ),
+            r AS (
+              SELECT qid, vec_id, dot,
+                     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, vec_id, dot FROM r WHERE rank <= {ANN_K}
+        """,
         "zkey_decode": f"""
             WITH {PTS_CTE} SELECT pid, x, y FROM pts
         """,
@@ -1500,6 +1531,7 @@ def build_queries():
         "streaming_sessionize": q_streaming_sessionize,
         "lsh_ann_exact": q_lsh_ann_exact,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "ivf_topk_batch_exhaustive": q_ivf_topk_batch_exhaustive,
         # rows-only (non-SQL-expressible or engine-specific hashes)
         "hilbert_encode": q_hilbert_encode,
         "minhash_pairs": q_minhash_pairs,

@@ -343,3 +343,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "dot")
     )
+
+
+def ivf_probe_udf(vec_col, seeds_q: list[list[int]], nprobe: int):
+    """Column: array<int> of the `nprobe` nearest seed indexes by
+    quantized dot product (ties broken by lower index — same order as
+    ivf_topk's driver-side loop, np.argsort stable on -dots).  Arrow
+    matmul per batch; the set-oriented analog of that loop."""
+    S = np.array(seeds_q, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Q = np.floor(V * float(QUANT)).astype(np.int64)
+        D = Q @ S.T
+        order = np.argsort(-D, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return _probe(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """SET-ORIENTED IVF-flat top-k: `queries` is a DATAFRAME with a
+    `qid` column referencing corpus ids — the large-batch path next to
+    :func:`ivf_topk` (which collects query vectors driver-side; right
+    for a handful of queries, wrong for 10^5).  Nothing is collected:
+    query vectors come from a join, probe cells from an Arrow matmul
+    (``ivf_probe_udf``), and the corpus is scanned once through the
+    (cell) equi-join.  Results are identical to per-query ivf_topk for
+    the same seeds (pytest-checked).  broadcast_queries=False switches
+    the probe join to a shuffle hash join for query batches too big to
+    broadcast."""
+    seeds = ivf_seeds(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantized(vec_col).alias("cvec"),
+        ivf_cell_udf(vec_col, seeds).alias("cell"),
+    )
+    qv = emb.join(
+        queries.select(F.col("qid")), F.col(id_col) == F.col("qid"), "inner"
+    ).select(
+        "qid",
+        quantized(vec_col).alias("qvec"),
+        ivf_probe_udf(vec_col, seeds, nprobe).alias("probes"),
+    )
+    probes = qv.select("qid", "qvec", F.explode("probes").alias("cell"))
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
+    j = corpus.join(probe_side, "cell").filter(F.col("vec_id") != F.col("qid"))
+    j = j.withColumn("dot", dot_q(F.col("cvec"), F.col("qvec")))
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "dot")
+    )
