@@ -234,3 +234,41 @@ class TestParquetSinkResume:
             got.groupBy("window_start", "tile_id").count().filter(F.col("count") > 1)
         )
         assert dups.count() == 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Planted exact duplicates across micro-batches are suppressed; one
+    row per distinct text survives into the sink."""
+    import os
+
+    from zcurve_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(50)
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    )
+    dups = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    dups.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    n_distinct = docs.select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.groupBy("text").count().filter(F.col("count") > 1).count() == 0

@@ -353,7 +353,12 @@ def bbox_join_bucketed(
     """
     k = F.col(zkey_col)
     pts = points.withColumn("_bucket", F.shiftrightunsigned(k, bucket_shift))
-    ivs_side = F.broadcast(ivs_bucketed) if broadcast_ivs else ivs_bucketed
+    # non-broadcast: hint shuffle_hash, not sort-merge — SMJ would SORT
+    # the entire points side on bucket (a full 10^12-row sort); a
+    # shuffled hash join builds on the (much smaller) interval side
+    ivs_side = (
+        F.broadcast(ivs_bucketed) if broadcast_ivs else ivs_bucketed.hint("shuffle_hash")
+    )
     cand = pts.join(
         ivs_side, pts["_bucket"] == ivs_bucketed["bucket"], "inner"
     ).filter((k >= F.col("lo")) & (k <= F.col("hi")))
