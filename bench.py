@@ -364,6 +364,15 @@ def main() -> None:
 
     run_extra("knn_batch_2k", knn_batch_2k)
 
+    def distance_join_self():
+        # large-large spatial join: 600k x 600k self-join within radius
+        # via the grid-bucketed equi-join (neither side broadcast)
+        from zcurve_spark.operators.distance import distance_join
+
+        return distance_join(pts, pts, 2000, dedup_pairs=True).count()
+
+    run_extra("distance_join_self", distance_join_self)
+
     # --- kNN (store-backed: per-round candidate reads are file-pruned) ---
     kq = [
         {"qid": i, "qx": (i * 137_777 + 50_000) % DOMAIN, "qy": (i * 733_333 + 90_000) % DOMAIN, "k": 10}

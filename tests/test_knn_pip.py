@@ -119,3 +119,51 @@ class TestKnnBatch:
                 list(map(tuple, g[["pid", "x", "y", "d2"]].values.tolist()))
                 == _brute_knn(pdf, q)
             ), q
+
+
+class TestDistanceJoin:
+    def test_self_join_matches_brute_force(self, spark, pts, pdf):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from zcurve_spark.operators.distance import distance_join
+
+        sub = pts.filter((F.col("pid") % 7) == 0)
+        spdf = pdf[pdf.pid % 7 == 0].reset_index(drop=True)
+        r = 20_000
+        got = distance_join(sub, sub, r, dedup_pairs=True).toPandas()
+        got_set = sorted(map(tuple, got[["a_id", "b_id", "d2"]].values.tolist()))
+        X = spdf[["x", "y"]].to_numpy()
+        ids = spdf.pid.to_numpy()
+        D = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        exp = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(n):
+                if ids[i] < ids[j] and D[i, j] <= r * r:
+                    exp.append((int(ids[i]), int(ids[j]), int(D[i, j])))
+        assert got_set == sorted(exp)
+
+    def test_two_sided_and_radius_edge(self, spark):
+        from zcurve_spark.operators.distance import distance_join
+
+        a = spark.createDataFrame([(1, 100, 100), (2, 500, 500)], "pid long, x long, y long")
+        # exactly on the radius (d2 == r^2) must be INCLUDED (closed ball)
+        b = spark.createDataFrame(
+            [(10, 103, 104), (11, 100, 105), (12, 100, 106)], "pid long, x long, y long"
+        )
+        got = sorted(
+            map(tuple, distance_join(a, b, 5).select("a_id", "b_id", "d2").collect())
+        )
+        assert got == [(1, 10, 25), (1, 11, 25)]
+
+    def test_tile_boundary_pairs_found(self, spark):
+        """Pairs straddling a tile boundary are the whole point of the
+        3x3 expansion: place points on both sides of a 2^s boundary."""
+        from zcurve_spark.operators.distance import distance_join
+
+        r = 100  # s=7, tile=128
+        a = spark.createDataFrame([(1, 127, 127)], "pid long, x long, y long")
+        b = spark.createDataFrame([(2, 129, 130), (3, 250, 250)], "pid long, x long, y long")
+        got = sorted(map(tuple, distance_join(a, b, r).select("a_id", "b_id").collect()))
+        assert got == [(1, 2)]

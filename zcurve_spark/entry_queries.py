@@ -439,6 +439,19 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large distance self-join (r3): grid-bucketed equi-join with
+    3x3 neighbor expansion — the spatial-join shape where NEITHER side
+    is broadcastable (SURVEY.md §2.6 Joins target row).  The oracle is
+    the quadratic distance predicate on the same subset."""
+    from .operators.distance import distance_join
+
+    pts = points_from_lineitem(spark, sf_dir).filter(F.col("pid") % 20 == 0)
+    return distance_join(pts, pts, 5000, dedup_pairs=True).select(
+        "a_id", "b_id", "d2"
+    )
+
+
 def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_lineitem(spark, sf_dir)
     hits = pip_join(pts, POLYGONS, bits=BITS)
@@ -1090,6 +1103,14 @@ def _oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rank, pid, x, y, d2 FROM d WHERE rank <= k
         """,
+        "distance_join": f"""
+            WITH {PTS_CTE},
+            sub AS (SELECT * FROM pts WHERE pid % 20 = 0)
+            SELECT a.pid AS a_id, b.pid AS b_id,
+                   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM sub a JOIN sub b ON a.pid < b.pid
+            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25000000
+        """,
         "pip_count": f"""
             WITH {PTS_CTE},
             gp AS (SELECT pid, x, y, count(*) AS mult FROM pts GROUP BY pid, x, y),
@@ -1503,6 +1524,7 @@ def build_queries():
         "tile_counts_salted": q_tile_counts_salted,
         "knn": q_knn,
         "knn_batch": q_knn_batch,
+        "distance_join": q_distance_join,
         "pip_count": q_pip_count,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
