@@ -99,8 +99,11 @@ def gen_spans(n):
     s = df.select((F.col("id") / 8).cast("long").alias("doc_num"), qx, qy)
     return s.withColumn("zkey", zkey2_col("qx", "qy"))
 
+QUERIES = set(q for q in os.environ.get("SC_QUERIES", "").split(",") if q)
 timings = {}
 def run(name, fn):
+    if QUERIES and name not in QUERIES:
+        return
     fn()  # warm: JIT + codegen outside the window
     best = None
     for _ in range(REPS):  # best-of-N: the host is shared, neighbors
@@ -188,7 +191,7 @@ print(json.dumps({"cores": CORES, "timings": timings}))
 """
 
 
-def run_at(cores: int, sizes: dict, *, retries: int = 1) -> dict:
+def run_at(cores: int, sizes: dict, *, queries: str = "", retries: int = 1) -> dict:
     env = dict(
         os.environ,
         SC_CORES=str(cores),
@@ -198,6 +201,7 @@ def run_at(cores: int, sizes: dict, *, retries: int = 1) -> dict:
         SC_DOCMULT=str(sizes["doc_mult"]),
         SC_SIMHASH_MULT=str(sizes["simhash_mult"]),
         SC_REPS=str(REPS),
+        SC_QUERIES=queries,
     )
     for attempt in range(retries + 1):
         out = subprocess.run(
@@ -228,11 +232,26 @@ def run_pair(lo: int, hi: int) -> dict:
         "simhash_mult": SIMHASH_MULT,
     }
     # alternate core counts across passes so a noisy-neighbor burst on
-    # the shared host cannot bias one side; keep the min per query
-    tlo = run_at(lo, sizes)
-    thi = run_at(hi, sizes)
-    tlo = _min_merge(tlo, run_at(lo, sizes))
-    thi = _min_merge(thi, run_at(hi, sizes))
+    # the shared host cannot bias one side; keep the min per query.
+    # The dedup rows run in their OWN JVM: after the 1-2G-row geo
+    # queries fill the 48 GB heap, accumulated GC/allocator state
+    # depresses the wide-side dedup timings (measured: minhash at
+    # local[32] 19.0s fresh vs 32.9s late in a shared session) — a real
+    # cluster gives every executor a fresh process.
+    GEO = "compute_ref,tile_assign,bbox_batch,pip"
+    DEDUP = "compute_ref,minhash_dedup,simhash_fp"
+
+    def one_side(cores):
+        t = run_at(cores, sizes, queries=GEO)
+        td = run_at(cores, sizes, queries=DEDUP)
+        t["compute_ref"] = min(t["compute_ref"], td.pop("compute_ref"))
+        t.update(td)
+        return t
+
+    tlo = one_side(lo)
+    thi = one_side(hi)
+    tlo = _min_merge(tlo, one_side(lo))
+    thi = _min_merge(thi, one_side(hi))
     cal = (tlo["compute_ref"] / thi["compute_ref"]) / 4.0
     rows = []
     for q in tlo:
