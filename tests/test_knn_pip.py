@@ -97,6 +97,16 @@ class TestKnnBatch:
                 == _brute_knn(pdf, q)
             ), q
 
+    def test_empty_query_batch(self, spark, pts):
+        """r3 ADVICE: empty queries DataFrame must return an empty
+        result, not crash on int(None)."""
+        from zcurve_spark.operators.knn import knn_batch
+
+        qdf = spark.createDataFrame([], "qid long, qx long, qy long, k int")
+        got = knn_batch(qdf, points=pts, bits=BITS, domain=DOMAIN)
+        assert got.count() == 0
+        assert got.columns == ["qid", "rank", "pid", "x", "y", "d2"]
+
     def test_large_batch_shuffle_join_path(self, spark, pts, pdf):
         """broadcast_threshold=0 forces the shuffle-hash-join shape used
         at 10^5+ queries; results must be identical to brute force."""
@@ -156,6 +166,39 @@ class TestDistanceJoin:
             map(tuple, distance_join(a, b, 5).select("a_id", "b_id", "d2").collect())
         )
         assert got == [(1, 10, 25), (1, 11, 25)]
+
+    def test_negative_coordinates(self, spark):
+        """r3 ADVICE: shiftrightunsigned mis-tiled negative coords and
+        silently dropped cross-sign pairs; floor-division (arithmetic
+        shift) tiling must find them."""
+        from zcurve_spark.operators.distance import distance_join
+
+        a = spark.createDataFrame(
+            [(1, -3, -4), (2, -500, -500)], "pid long, x long, y long"
+        )
+        b = spark.createDataFrame(
+            [(10, 0, 0), (11, -6, -8), (12, 400, 400)], "pid long, x long, y long"
+        )
+        got = sorted(
+            map(tuple, distance_join(a, b, 5).select("a_id", "b_id", "d2").collect())
+        )
+        assert got == [(1, 10, 25), (1, 11, 25)]
+
+    def test_large_coordinate_exactness(self, spark):
+        """d2 uses integer multiply, not float pow: coordinate diffs
+        beyond 2^26 must still classify pairs exactly at the radius
+        boundary (r3 ADVICE)."""
+        from zcurve_spark.operators.distance import distance_join
+
+        big = 1 << 28  # diff magnitude where float64 pow rounding bites
+        a = spark.createDataFrame([(1, 0, 0)], "pid long, x long, y long")
+        b = spark.createDataFrame(
+            [(10, big + 1, 0), (11, big + 2, 0)], "pid long, x long, y long"
+        )
+        got = sorted(
+            map(tuple, distance_join(a, b, big + 1).select("a_id", "b_id").collect())
+        )
+        assert got == [(1, 10)]
 
     def test_tile_boundary_pairs_found(self, spark):
         """Pairs straddling a tile boundary are the whole point of the

@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     verify_min_jaccard_milli: int | None = 500,
+    verify_semijoin: bool | None = None,
     checkpoint=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
@@ -294,18 +295,36 @@ def minhash_lsh_pairs(
         return cand.select("a_id", "b_id")
     # Verification shuffle hygiene: the gram relation is corpus-sized
     # (every doc x its shingle array), but only CANDIDATE docs need their
-    # grams shuffled into the verify joins.  Materialize the (small)
-    # candidate relation, broadcast its id set as a semi-join filter, and
-    # the two verify joins shuffle ~|candidates| gram rows instead of the
-    # whole corpus (measured: the full-corpus gram shuffle was the
-    # non-scaling term of the 8->32 pair).  Falls back to the plain joins
-    # when the candidate set is too big to broadcast.
-    cand = cand.localCheckpoint()
-    n_cand = cand.count()
-    if n_cand <= 2_000_000:
+    # grams shuffled into the verify joins.  The candidate-member id set
+    # is derived from the BAND relation, not the pair relation: any doc
+    # sharing a (band, bh) bucket with another doc is a pair member, so
+    # `bands ⋉ {buckets with >= 2 docs}` is exactly the id set — no
+    # materialization of the (potentially enormous) pair relation, no
+    # localCheckpoint (r3 ADVICE: checkpointing 10^12-doc candidates to
+    # executor storage is non-resumable and eager).  The only eager work
+    # is one cheap bucket-size aggregate to decide broadcast-ability;
+    # pass verify_semijoin=False for a fully lazy plan (plain joins) or
+    # True to skip the estimate and force the semi-join.
+    use_semi = verify_semijoin
+    if use_semi is None:
+        est = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= 2)
+            .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("ids_ub"))
+            .first()[0]
+        )
+        use_semi = est <= 4_000_000  # upper bound on broadcastable id rows
+    if use_semi:
+        dup_buckets = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= 2)
+            .select("band", "bh")
+        )
         ids = (
-            cand.select(F.col("a_id").alias("id"))
-            .unionByName(cand.select(F.col("b_id").alias("id")))
+            bands.join(dup_buckets, ["band", "bh"], "leftsemi")
+            .select("id")
             .distinct()
         )
         gm = gm.join(F.broadcast(ids), "id", "leftsemi")

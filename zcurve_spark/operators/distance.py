@@ -39,8 +39,11 @@ def distance_join(
 
     Both sides may be arbitrarily large: the only shuffle is the tile
     equi-join (B side is duplicated 9x — constant factor, independent
-    of data size).  All-integer arithmetic so results are
-    oracle-checkable bit-for-bit.  For a self-join pass the same
+    of data size).  All-integer arithmetic (explicit long multiply, not
+    float pow — exact for the full 32-bit coordinate domain) so results
+    are oracle-checkable bit-for-bit.  Coordinates may be negative:
+    tiling uses arithmetic right shift == floor division by 2^s, which
+    buckets negatives consistently.  For a self-join pass the same
     DataFrame twice and ``dedup_pairs=True`` to keep a_id < b_id only.
     """
     if radius <= 0:
@@ -48,16 +51,20 @@ def distance_join(
     s = max(1, int(radius).bit_length())  # 2^s >= radius (tile side)
     xc, yc = coord_cols
 
+    def tile(c):
+        # floor(c / 2^s) via arithmetic shift on a long: correct for
+        # negative coordinates too (shiftrightunsigned would scatter
+        # them to huge tile ids and silently drop cross-sign pairs).
+        return F.shiftright(F.col(c).cast("long"), s)
+
     ta = a.select(
         F.col(id_col).alias("a_id"),
         F.col(xc).alias("ax"),
         F.col(yc).alias("ay"),
-        F.shiftrightunsigned(F.col(xc), s).alias("_tx"),
-        F.shiftrightunsigned(F.col(yc), s).alias("_ty"),
+        tile(xc).alias("_tx"),
+        tile(yc).alias("_ty"),
     )
-    # B explodes to its 3x3 tile neighborhood; clamp at 0 happens
-    # naturally because negative neighbor indexes never match A's
-    # (non-negative) tiles.
+    # B explodes to its 3x3 tile neighborhood.
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -76,14 +83,16 @@ def distance_join(
             "b_id",
             "bx",
             "by",
-            (F.shiftrightunsigned(F.col("bx"), s) + F.col("_o.dx")).alias("_tx"),
-            (F.shiftrightunsigned(F.col("by"), s) + F.col("_o.dy")).alias("_ty"),
+            (F.shiftright(F.col("bx").cast("long"), s) + F.col("_o.dx")).alias("_tx"),
+            (F.shiftright(F.col("by").cast("long"), s) + F.col("_o.dy")).alias("_ty"),
         )
     )
     j = ta.join(tb, ["_tx", "_ty"])
-    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    dx = F.col("ax").cast("long") - F.col("bx").cast("long")
+    dy = F.col("ay").cast("long") - F.col("by").cast("long")
+    d2 = dx * dx + dy * dy  # exact integer arithmetic (no float pow)
     out = (
-        j.withColumn("d2", d2.cast("long"))
+        j.withColumn("d2", d2)
         .filter(F.col("d2") <= int(radius) * int(radius))
         .select("a_id", "b_id", "d2")
     )

@@ -200,7 +200,12 @@ def knn_batch(
         n_points_hint = store_total_rows(store_path)
     if n_points_hint is None:
         n_points_hint = 1_000_000
-    kmax = int(queries.agg(F.max("k")).first()[0])
+    kmax_row = queries.agg(F.max("k")).first()[0]
+    if kmax_row is None:  # empty query batch: return an empty result, same schema
+        return spark.createDataFrame(
+            [], "qid long, rank int, pid long, x int, y int, d2 long"
+        )
+    kmax = int(kmax_row)
     r = max(64, int(domain * math.sqrt(16.0 * kmax / max(n_points_hint, 1)) / 2))
 
     pending = queries.select("qid", "qx", "qy", "k").localCheckpoint()
