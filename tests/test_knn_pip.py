@@ -97,6 +97,36 @@ class TestKnnBatch:
                 == _brute_knn(pdf, q)
             ), q
 
+    def test_reliable_checkpoint_variant(self, spark, pts, pdf, tmp_path):
+        """r3 VERDICT #9: on a real cluster localCheckpoint blocks die
+        with their executor; knn_batch accepts a pluggable checkpointer
+        so reliable checkpoint() (shared storage) is a drop-in.  Results
+        must be identical to the default path."""
+        from zcurve_spark.operators.knn import knn_batch
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        qs = [
+            {"qid": 0, "qx": 10_000, "qy": 20_000, "k": 4},
+            {"qid": 1, "qx": 800_000, "qy": 700_000, "k": 6},
+        ]
+        qdf = spark.createDataFrame(
+            [(q["qid"], q["qx"], q["qy"], q["k"]) for q in qs],
+            "qid long, qx long, qy long, k int",
+        )
+        got = knn_batch(
+            qdf,
+            points=pts,
+            bits=BITS,
+            domain=DOMAIN,
+            checkpointer=lambda df: df.checkpoint(),
+        ).toPandas()
+        for q in qs:
+            g = got[got.qid == q["qid"]].sort_values("rank")
+            assert (
+                list(map(tuple, g[["pid", "x", "y", "d2"]].values.tolist()))
+                == _brute_knn(pdf, q)
+            ), q
+
     def test_empty_query_batch(self, spark, pts):
         """r3 ADVICE: empty queries DataFrame must return an empty
         result, not crash on int(None)."""

@@ -150,6 +150,122 @@ def test_hilbert_store_pruned_lookup(spark, tmp_path_factory):
     assert 0 < len(prune_files(m, ivs)) < len(m["files"])
 
 
+def test_hilbert3_store_pruned_lookup(spark, tmp_path_factory):
+    """The last cell of the curve x storage matrix (r3 VERDICT missing
+    #3): an hkey3-sorted layout + octree-cover intervals returns the
+    same 3D box rows as the coordinate predicate, with files pruned."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.functions.udfs import hilbert3_udf
+    from zcurve_spark.operators.bbox import bbox_lookup_pruned
+
+    path = str(tmp_path_factory.mktemp("h3store") / "points_h3sorted")
+    pts = points_from_lineitem(spark, SF_DIR).withColumn(
+        "hkey3", hilbert3_udf(BITS)(F.col("x"), F.col("y"), F.col("z"))
+    )
+    write_sorted(pts, path, zkey_col="hkey3", n_partitions=8, lineage={"stage": "h3"})
+    box = ((200_000, 300_000, 0), (420_000, 500_000, 600_000))
+    got = bbox_lookup_pruned(
+        spark,
+        path,
+        box[0],
+        box[1],
+        zkey_col="hkey3",
+        coord_cols=("x", "y", "z"),
+        bits=BITS,
+        curve="hilbert3",
+    ).collect()
+    exp = (
+        points_from_lineitem(spark, SF_DIR)
+        .filter(
+            F.col("x").between(box[0][0], box[1][0])
+            & F.col("y").between(box[0][1], box[1][1])
+            & F.col("z").between(box[0][2], box[1][2])
+        )
+        .select("pid", "x", "y", "z")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) > 0
+    # octree covers must actually prune files on a small box
+    from zcurve_spark.plans.decompose import hilbert3_covers
+
+    ivs = hilbert3_covers(
+        (200_000, 300_000, 100_000), (230_000, 330_000, 200_000), order=BITS, budget=64
+    )
+    m = load_manifest(path)
+    assert 0 < len(prune_files(m, ivs)) < len(m["files"])
+
+
+class TestCoordinateStats:
+    """r3 VERDICT #5: per-dimension coordinate min-max in the manifest
+    (the Iceberg-column-stats analog) lets pure-coordinate-predicate
+    scans prune files with NO curve-interval decomposition."""
+
+    def test_write_sorted_records_coord_stats_and_bytes(self, spark, sorted_path):
+        m = load_manifest(sorted_path)
+        for f in m["files"]:
+            assert f["bytes"] > 0
+            assert "x" in f["stats"] and "y" in f["stats"]
+            assert f["stats"]["x"]["min"] <= f["stats"]["x"]["max"]
+
+    def test_coord_pruning_correct_and_effective(self, spark, sorted_path):
+        from zcurve_spark.sources.manifest import prune_files_coords
+
+        m = load_manifest(sorted_path)
+        boxes = [{"mins": (100_000, 100_000), "maxs": (150_000, 160_000)}]
+        kept = prune_files_coords(m, boxes, ("x", "y"))
+        assert 0 < len(kept) < len(m["files"]), "coord stats should prune"
+        pred = F.col("x").between(100_000, 150_000) & F.col("y").between(
+            100_000, 160_000
+        )
+        full = spark.read.parquet(sorted_path).filter(pred)
+        pruned = spark.read.parquet(*[f"{sorted_path}/{n}" for n in kept]).filter(pred)
+        assert sorted(r.pid for r in pruned.collect()) == sorted(
+            r.pid for r in full.collect()
+        )
+        assert full.count() > 0
+
+    def test_files_without_stats_conservatively_kept(self):
+        from zcurve_spark.sources.manifest import prune_files_coords
+
+        m = {"files": [{"file": "a.parquet", "stats": {}},
+                       {"file": "b.parquet",
+                        "stats": {"x": {"min": 0, "max": 10},
+                                  "y": {"min": 0, "max": 10}}}]}
+        boxes = [{"mins": (1000, 1000), "maxs": (2000, 2000)}]
+        # a has no stats -> kept; b's ranges exclude the box -> dropped
+        assert prune_files_coords(m, boxes) == ["a.parquet"]
+
+    def test_augment_existing_manifest(self, spark, tmp_path):
+        """A pre-r4 manifest (no stats/bytes) is upgraded in place from
+        parquet footers only — no data rewrite — and idempotently."""
+        import json
+        import os
+
+        from zcurve_spark.sources.manifest import (
+            MANIFEST_NAME,
+            augment_manifest_stats,
+        )
+
+        p = str(tmp_path / "legacy")
+        pts = points_from_lineitem(spark, SF_DIR)
+        write_sorted(pts, p, n_partitions=4)
+        # strip the stats to simulate a legacy manifest
+        m = load_manifest(p)
+        for f in m["files"]:
+            f.pop("stats", None)
+            f.pop("bytes", None)
+        with open(os.path.join(p, MANIFEST_NAME), "w") as fh:
+            json.dump(m, fh)
+        m1 = augment_manifest_stats(p, ("x", "y"))
+        assert all("x" in f["stats"] and f["bytes"] > 0 for f in m1["files"])
+        t = os.path.getmtime(os.path.join(p, MANIFEST_NAME))
+        m2 = augment_manifest_stats(p, ("x", "y"))  # idempotent: no rewrite
+        assert os.path.getmtime(os.path.join(p, MANIFEST_NAME)) == t
+        assert m2["files"] == m1["files"]
+
+
 class TestStoreParallelism:
     def test_manifest_carries_target_parallelism(self, spark, tmp_path):
         from zcurve_spark.sources.manifest import load_manifest, write_sorted

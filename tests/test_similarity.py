@@ -245,3 +245,33 @@ def test_ivf_topk_batch_matches_per_query(spark, emb):
                 .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, ref), (nprobe, bc)
+
+
+def test_ivf_topk_batch_shuffle_plan_no_probe_broadcast(spark, emb):
+    """r3 VERDICT #8 plan audit: with broadcast_queries=False the probe
+    relation must NOT be broadcast — corpus and probes cogroup by cell
+    (FlatMapCoGroupsInPandas over two shuffle exchanges), so 10^5+-query
+    batches never materialize on every executor and the per-pair HOF dot
+    relation never exists."""
+    import io
+    from contextlib import redirect_stdout
+
+    from zcurve_spark.operators.similarity import ivf_topk_batch
+
+    qdf = spark.createDataFrame([(int(i),) for i in range(8)], "qid long")
+    out = ivf_topk_batch(emb, qdf, 5, n_cells=16, nprobe=4, broadcast_queries=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    # the only broadcast allowed is the tiny qid-lookup join (O(query
+    # ids)); the cogroup's own inputs must be shuffle exchanges, which
+    # is structural: cogroup cannot take a broadcast side at all.
+    # formatted explain lists each node twice (tree + detail) — count
+    # detail-section nodes only.
+    bx = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "BroadcastExchange" in l
+    ]
+    assert len(bx) <= 1, plan[:2000]

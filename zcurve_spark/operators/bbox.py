@@ -172,13 +172,18 @@ def bbox_lookup_pruned(
 
     ``curve`` selects the interval decomposition: "z" (LITMAX/BIGMIN)
     for a zkey-sorted layout, "hilbert" (quadrant cover) for an
-    hkey-sorted layout — the lookup machinery is curve-agnostic."""
+    hkey-sorted layout, "hilbert3" (octree cover, 3 coord_cols) for an
+    hkey3-sorted layout — the lookup machinery is curve-agnostic."""
     from ..sources.manifest import read_pruned
 
     if curve == "hilbert":
         from ..plans.decompose import hilbert_covers
 
         intervals = hilbert_covers(tuple(mins), tuple(maxs), order=bits, budget=budget)
+    elif curve == "hilbert3":
+        from ..plans.decompose import hilbert3_covers
+
+        intervals = hilbert3_covers(tuple(mins), tuple(maxs), order=bits, budget=budget)
     else:
         intervals = decompose_box(tuple(mins), tuple(maxs), bits=bits, budget=budget)
     pts = read_pruned(spark, store_path, intervals)

@@ -524,7 +524,13 @@ def connected_components(
 
     Raises RuntimeError if max_iter is exhausted before convergence
     (ADVICE r2: silently returning partially-propagated labels would
-    corrupt downstream canonical-doc selection with no error)."""
+    corrupt downstream canonical-doc selection with no error).
+
+    Cluster note: the per-round localCheckpoint blocks live on
+    executors — an executor loss invalidates them mid-job.  On a real
+    cluster substitute reliable ``df.checkpoint()`` (after
+    ``sc.setCheckpointDir`` on shared storage) or materialize rounds
+    through StageRunner; the algorithm is unchanged."""
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

@@ -171,6 +171,7 @@ def knn_batch(
     budget: int = 32,
     broadcast_threshold: int = 10_000,
     max_rounds: int = 12,
+    checkpointer=None,
 ) -> DataFrame:
     """SET-ORIENTED kNN: `queries` is a DATAFRAME (qid, qx, qy, k) — the
     large-batch path (r2 VERDICT "What's missing" #2: the list-based
@@ -187,6 +188,14 @@ def knn_batch(
 
     Same result contract as :func:`knn`: (qid, rank, pid, x, y, d2),
     rank by squared Euclidean distance with (pid, x, y) tiebreak.
+
+    ``checkpointer`` cuts lineage between rounds so round N's plan does
+    not replay rounds 1..N-1.  Default is ``DataFrame.localCheckpoint``
+    — right for local mode, but its blocks live on executors, so on a
+    real cluster an executor loss invalidates them mid-job; pass
+    ``lambda df: df.checkpoint()`` (reliable, after
+    ``sc.setCheckpointDir`` on shared storage) or a StageRunner-backed
+    materializer for fault-tolerant 1000-executor runs.
     """
     from functools import reduce
 
@@ -207,8 +216,9 @@ def knn_batch(
         )
     kmax = int(kmax_row)
     r = max(64, int(domain * math.sqrt(16.0 * kmax / max(n_points_hint, 1)) / 2))
+    ckpt = checkpointer or (lambda df: df.localCheckpoint())
 
-    pending = queries.select("qid", "qx", "qy", "k").localCheckpoint()
+    pending = ckpt(queries.select("qid", "qx", "qy", "k"))
     n_pending = pending.count()
     done_parts: list[DataFrame] = []
     rounds = 0
@@ -228,7 +238,7 @@ def knn_batch(
         small = n_pending <= broadcast_threshold
         if not small:
             # the interval relation feeds two consumers (prune + join)
-            bivs = bivs.localCheckpoint()
+            bivs = ckpt(bivs)
         if store_path is not None:
             src = read_pruned_df(spark, store_path, bivs)
         elif points is not None:
@@ -253,8 +263,8 @@ def knn_batch(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= F.col("k"))
             .select("qid", "rank", "pid", "x", "y", "d2", "k")
-            .localCheckpoint()  # k rows/query; feeds both stats and output
         )
+        topk = ckpt(topk)  # k rows/query; feeds both stats and output
         if r >= domain:
             covered = pending.select("qid")
         else:
@@ -269,11 +279,12 @@ def knn_batch(
                 .select("qid")
             )
         done_parts.append(
-            topk.join(covered, "qid", "leftsemi")
-            .select("qid", "rank", "pid", "x", "y", "d2")
-            .localCheckpoint()
+            ckpt(
+                topk.join(covered, "qid", "leftsemi")
+                .select("qid", "rank", "pid", "x", "y", "d2")
+            )
         )
-        pending = pending.join(covered, "qid", "leftanti").localCheckpoint()
+        pending = ckpt(pending.join(covered, "qid", "leftanti"))
         n_pending = pending.count()
         r *= 4
     if n_pending:

@@ -384,8 +384,9 @@ def ivf_topk_batch(
     (``ivf_probe_udf``), and the corpus is scanned once through the
     (cell) equi-join.  Results are identical to per-query ivf_topk for
     the same seeds (pytest-checked).  broadcast_queries=False switches
-    the probe join to a shuffle hash join for query batches too big to
-    broadcast."""
+    to a cogrouped per-cell Arrow matmul with local top-k (r4): both
+    sides shuffle by cell, nothing is broadcast, and the per-pair
+    candidate relation never materializes — the 10^5+-query shape."""
     seeds = ivf_seeds(emb, n_cells, id_col=id_col, vec_col=vec_col)
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -400,12 +401,67 @@ def ivf_topk_batch(
         ivf_probe_udf(vec_col, seeds, nprobe).alias("probes"),
     )
     probes = qv.select("qid", "qvec", F.explode("probes").alias("cell"))
-    probe_side = F.broadcast(probes) if broadcast_queries else probes
-    j = corpus.join(probe_side, "cell").filter(F.col("vec_id") != F.col("qid"))
-    j = j.withColumn("dot", dot_q(F.col("cvec"), F.col("qvec")))
+    if broadcast_queries:
+        # small query batches: broadcast the probe relation; the per-pair
+        # dot_q HOF is fine at |queries| * |cell| scale (the handful path)
+        j = corpus.join(F.broadcast(probes), "cell").filter(
+            F.col("vec_id") != F.col("qid")
+        )
+        j = j.withColumn("dot", dot_q(F.col("cvec"), F.col("qvec")))
+        w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "dot")
+        )
+    # LARGE batches: cogroup corpus x probes by cell and run ONE numpy
+    # matmul + local top-k per (cell) group — the pairwise candidate
+    # relation (|queries| * |cell size| rows, each paying an interpreted
+    # HOF dot product) never materializes.  Per-cell top-k with the SAME
+    # comparator (dot desc, vec_id asc) provably preserves the global
+    # top-k, so the final window ranks <= nprobe*k rows per query
+    # instead of nprobe*|cell|.  Both sides shuffle by cell — the
+    # probe relation is never broadcast (r3 VERDICT #8).
+    cell_schema = "qid long, vec_id long, dot long"
+
+    def cell_topk(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"qid": [], "vec_id": [], "dot": []}).astype(
+                {"qid": "int64", "vec_id": "int64", "dot": "int64"}
+            )
+        C = np.stack([np.asarray(v, dtype=np.int64) for v in cdf["cvec"]])
+        Q = np.stack([np.asarray(v, dtype=np.int64) for v in qdf["qvec"]])
+        cids = cdf["vec_id"].to_numpy(np.int64)
+        qids = qdf["qid"].to_numpy(np.int64)
+        D = Q @ C.T  # (n_queries, n_cell) exact integer dots
+        out_q, out_v, out_d = [], [], []
+        kk = min(k, C.shape[0])
+        for i in range(D.shape[0]):
+            d = D[i]
+            mask = cids != qids[i]  # self-match excluded before top-k
+            # comparator (dot desc, vec_id asc) == the final window order
+            order = np.lexsort((cids[mask], -d[mask]))[:kk]
+            vs = cids[mask][order]
+            ds = d[mask][order]
+            out_q.extend([qids[i]] * len(vs))
+            out_v.extend(vs.tolist())
+            out_d.extend(ds.tolist())
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "dot": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    cand = (
+        corpus.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(lambda c, q: cell_topk(c, q), cell_schema)
+    )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "dot")
     )

