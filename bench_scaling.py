@@ -178,7 +178,12 @@ def minhash():
     # reads at 32 threads, and re-shingling is cheaper and scales)
     spark.catalog.clearCache()
     docs = fan_out(spark.read.parquet(amp(DOC_MULT)))
-    return minhash_lsh_pairs(docs, verify_min_jaccard_milli=100).count()
+    # verify_semijoin=True: at 2.5M docs the corpus gram shuffle is the
+    # non-scaling term (r3 measurement); the candidate-only semi-join is
+    # the scale-path configuration, so the scaling row measures it
+    return minhash_lsh_pairs(
+        docs, verify_min_jaccard_milli=100, verify_semijoin=True
+    ).count()
 run("minhash_dedup", minhash)
 
 # the r3 SimHash kernel (explode -> 48 codegen'd conditional-sum aggs):

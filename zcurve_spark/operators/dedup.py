@@ -179,7 +179,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     verify_min_jaccard_milli: int | None = 500,
-    verify_semijoin: bool | None = None,
+    verify_semijoin: bool | None = False,
     checkpoint=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
@@ -283,6 +283,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bh")
+    # Verification shuffle hygiene (active when verify is on and
+    # verify_semijoin is not False): the gram relation is corpus-sized
+    # (every doc x its shingle array), but only CANDIDATE docs need their
+    # grams shuffled into the verify joins.  The candidate-member id set
+    # is derived from the BAND relation, not the pair relation: any doc
+    # sharing a (band, bh) bucket with another doc is a pair member, so
+    # `bands ⋉ {buckets with >= 2 docs}` is exactly the id set — the
+    # (potentially enormous, quadratic) pair relation is never
+    # materialized or localCheckpoint'd (r3 ADVICE: that was eager AND
+    # non-resumable).  The linear-size band relation then feeds FOUR
+    # consumers (a-side, b-side, bucket sizes, ids), so it is persist()ed
+    # — lazy, and lineage-backed: an executor loss recomputes it, unlike
+    # localCheckpoint.  Default is False (fully lazy plan, nothing
+    # persisted, zero jobs at call time): the semi-join pays ~2 extra
+    # band-relation passes to shrink the verify-join gram shuffle from
+    # |corpus| to |candidate| rows, which is profitable only once the
+    # corpus gram shuffle dominates — measured 2x SLOWER at 5k docs but
+    # the 8->32-core scaling win at 2.5M docs (bench_scaling passes
+    # True).  True forces it; None picks by a cheap bucket-size
+    # aggregate bounding the broadcastable id count (the one eager job).
+    use_semi = False if verify_min_jaccard_milli is None else verify_semijoin
+    if use_semi is not False:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.select(F.col("id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("id").alias("b_id"), "band", "bh")
     cand = (
@@ -293,19 +318,6 @@ def minhash_lsh_pairs(
     )
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
-    # Verification shuffle hygiene: the gram relation is corpus-sized
-    # (every doc x its shingle array), but only CANDIDATE docs need their
-    # grams shuffled into the verify joins.  The candidate-member id set
-    # is derived from the BAND relation, not the pair relation: any doc
-    # sharing a (band, bh) bucket with another doc is a pair member, so
-    # `bands ⋉ {buckets with >= 2 docs}` is exactly the id set — no
-    # materialization of the (potentially enormous) pair relation, no
-    # localCheckpoint (r3 ADVICE: checkpointing 10^12-doc candidates to
-    # executor storage is non-resumable and eager).  The only eager work
-    # is one cheap bucket-size aggregate to decide broadcast-ability;
-    # pass verify_semijoin=False for a fully lazy plan (plain joins) or
-    # True to skip the estimate and force the semi-join.
-    use_semi = verify_semijoin
     if use_semi is None:
         est = (
             bands.groupBy("band", "bh")
