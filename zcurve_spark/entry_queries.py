@@ -353,6 +353,32 @@ def q_bbox_rows_hilbert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_rows_coordstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box lookup through COORDINATE-STATS file pruning (r4): the
+    manifest's per-file x/y min-max (Iceberg-column-stats analog) picks
+    the candidate files for a pure coordinate predicate — no curve
+    decomposition anywhere.  Shares the bbox_rows oracle: a third,
+    independent path to the same rows (full scan / interval descent /
+    column stats must all agree)."""
+    import os as _os
+
+    from .sources.manifest import augment_manifest_stats, prune_files_coords
+    from .sources.store import points_store
+
+    path = points_store(spark, sf_dir)
+    m = augment_manifest_stats(path, ("x", "y"))
+    box = {"mins": BBOX_SINGLE["mins"], "maxs": BBOX_SINGLE["maxs"]}
+    names = prune_files_coords(m, [box], ("x", "y"))
+    if not names:
+        return spark.read.parquet(path).select("pid", "x", "y").limit(0)
+    pts = spark.read.parquet(*[_os.path.join(path, n) for n in sorted(names)])
+    hits = pts.filter(
+        F.col("x").between(box["mins"][0], box["maxs"][0])
+        & F.col("y").between(box["mins"][1], box["maxs"][1])
+    )
+    return hits.select("pid", "x", "y").orderBy("pid")
+
+
 def q_bbox_rows_hilbert3_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3D range lookup over the 3D-HILBERT-key-SORTED store: octree-cover
     intervals drive manifest file pruning over an hkey3-sorted layout —
@@ -1100,6 +1126,12 @@ def _oracle_sql() -> dict[str, str]:
               AND y BETWEEN {b3['mins'][1]} AND {b3['maxs'][1]}
               AND z BETWEEN {b3['mins'][2]} AND {b3['maxs'][2]}
         """,
+        "bbox_rows_coordstats": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {b['mins'][0]} AND {b['maxs'][0]}
+              AND y BETWEEN {b['mins'][1]} AND {b['maxs'][1]}
+        """,
         "bbox_rows_hilbert3_pruned": f"""
             WITH {PTS_CTE}
             SELECT pid, x, y, z FROM pts
@@ -1649,6 +1681,7 @@ def build_queries():
         "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
         "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "bbox_rows_hilbert3_pruned": q_bbox_rows_hilbert3_pruned,
+        "bbox_rows_coordstats": q_bbox_rows_coordstats,
         "zkey_encode": q_zkey_encode,
         "zkey3_decimal": q_zkey3_decimal,
         "tile_counts": q_tile_counts,
