@@ -324,26 +324,24 @@ class TestJpegCodec:
             assert dec.shape == (17, 29, 3)
 
     def test_restart_intervals_decoded(self):
-        """DRI + RSTn markers: inject a restart interval by re-encoding
-        the ECS with DC-predictor resets at byte-aligned markers."""
+        """DRI + RSTn markers actually FIRING: encode with a restart
+        every 2 MCUs (byte-aligned RSTn, DC predictors reset) — the
+        decoder must consume the markers, resync, and reproduce the
+        no-restart decode exactly."""
         import numpy as np
 
         from zcurve_spark.sources import jpeg as J
 
-        # build a stream WITH restarts by splicing: encode 4 MCU rows,
-        # then decode a hand-assembled DRI stream of the same blocks
-        pix = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 3, 1)).transpose(0, 2, 1)
-        assert pix.shape == (16, 16, 3)
-        blob = J.jpeg_encode(pix, quality=95)
-        base = J.jpeg_decode_pixels(blob)
-        # splice a DRI segment before SOS; with interval >= total MCUs
-        # no RST marker ever fires, but the parse path is exercised
-        sos_at = blob.find(b"\xff\xda")
-        import struct as _s
-
-        dri = _s.pack(">HHH", 0xFFDD, 4, 9999)
-        spliced = blob[:sos_at] + dri + blob[sos_at:]
-        assert (J.jpeg_decode_pixels(spliced) == base).all()
+        rng = np.random.default_rng(5)
+        pix = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)  # 15 MCUs @4:4:4
+        base = J.jpeg_decode_pixels(J.jpeg_encode(pix, quality=95))
+        for sub in (False, True):
+            blob = J.jpeg_encode(pix, quality=95, subsample=sub, restart_interval=2)
+            assert blob.count(b"\xff\xd0") + blob.count(b"\xff\xd1") >= 1, "no RST fired"
+            got = J.jpeg_decode_pixels(blob)
+            ref = J.jpeg_decode_pixels(J.jpeg_encode(pix, quality=95, subsample=sub))
+            assert (got == ref).all(), f"restart decode drift (subsample={sub})"
+        assert base.shape == pix.shape
 
     def test_codec_dispatch_routes_jpeg(self):
         import numpy as np

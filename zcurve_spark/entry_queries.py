@@ -824,12 +824,27 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="zstream_dedup_")
     try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # plant exact duplicates (every 20th doc re-delivered 10s later,
+        # within the watermark horizon) in a SECOND file: with
+        # maxFilesPerTrigger=1 the duplicates arrive in a different
+        # micro-batch, so suppression exercises the cross-batch state
+        # store, not just within-batch dedup.  The oracle — one row per
+        # distinct text of the original table — is unchanged AND
+        # order-independent: whichever copy the engine retains, the
+        # emitted (hash, length) pair is identical.
+        stamp = lambda df, off: df.withColumn(
             "ts",
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(secs=F.col("doc_id").cast("double")),
+            + F.make_interval(
+                secs=(F.col("doc_id") % 1_000_000).cast("double") + F.lit(off)
+            ),
         )
-        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        stamp(base, 0).coalesce(1).write.mode("overwrite").parquet(d)
+        dups = base.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        stamp(dups, 10).coalesce(1).write.mode("append").parquet(d)
         schema = spark.read.parquet(d).schema
         stream = (
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)

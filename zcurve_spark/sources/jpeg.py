@@ -136,11 +136,6 @@ def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _huff_lut(bits, vals) -> dict[tuple[int, int], int]:
-    """(length, code) -> val decode table."""
-    return {(ln, c): v for v, (c, ln) in _huff_codes(bits, vals).items()}
-
-
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -180,9 +175,18 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
 
 
-def jpeg_encode(pix: np.ndarray, *, quality: int = 90, subsample: bool = False) -> bytes:
+def jpeg_encode(
+    pix: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (SOF0, Annex K tables).
-    ``subsample=True`` emits 4:2:0 (2x2 chroma MCUs), else 4:4:4."""
+    ``subsample=True`` emits 4:2:0 (2x2 chroma MCUs), else 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, DC predictors reset) every that many MCUs — T.81
+    B.2.1.2, the error-resilience feature real encoders use."""
     h, w = pix.shape[:2]
     p = pix.astype(np.float64)
     r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
@@ -245,8 +249,17 @@ def jpeg_encode(pix: np.ndarray, *, quality: int = 90, subsample: bool = False) 
             code, ln = ac_t[0x00]  # EOB
             bw.write(code, ln)
 
+    n_mcu = 0
+    rst = 0
     for my in range(mh // mcu_h):
         for mx in range(mw // mcu_w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align (1-pad), emit RSTn, reset DC predictors
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[0] = pred[1] = pred[2] = 0
+            n_mcu += 1
             for by in range(vs):
                 for bx in range(hs):
                     emit_block(qy[my * vs + by, mx * hs + bx], 0)
@@ -270,60 +283,98 @@ def jpeg_encode(pix: np.ndarray, *, quality: int = 90, subsample: bool = False) 
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8" + app0 + dqt(0, qt0) + dqt(1, qt1)
         + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS) + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
         + dht(0, 1, DC_CHR_BITS, DC_CHR_VALS) + dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
-        + sof + sos + bytes(bw.out) + b"\xff\xd9"
+        + sof + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
 class _BitReader:
-    """ECS bit reader with 0xFF00 unstuffing; byte-aligns at restarts."""
+    """Buffered ECS bit reader with 0xFF00 unstuffing; byte-aligns at
+    restarts.  Keeps >= 16 look-ahead bits so Huffman decode is one
+    16-bit-prefix LUT probe instead of a per-bit loop (~10x).  At a
+    marker (or end of data) it pads with 1-bits WITHOUT consuming the
+    marker — matching the encoder's flush padding, and leaving `pos` on
+    the marker for restart()/EOI handling."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.cur = 0
+        self.buf = 0
         self.n = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1]
-                if nxt != 0x00:
-                    raise ValueError(f"hit marker 0xFF{nxt:02X} inside scan")
-                self.pos += 2
+    def _fill(self, need: int = 16):
+        data = self.data
+        while self.n < need:
+            if self.pos < len(data):
+                b = data[self.pos]
+                if b == 0xFF:
+                    nxt = data[self.pos + 1] if self.pos + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        self.pos += 2
+                    else:  # marker: pad, don't consume
+                        b = 0xFF
+                        self.buf = (self.buf << 8) | b
+                        self.n += 8
+                        continue
+                else:
+                    self.pos += 1
+                self.buf = (self.buf << 8) | b
             else:
-                self.pos += 1
-            self.cur = b
-            self.n = 8
-        self.n -= 1
-        return (self.cur >> self.n) & 1
+                self.buf = (self.buf << 8) | 0xFF  # pad past end
+            self.n += 8
 
     def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
+        if k == 0:
+            return 0
+        self._fill(k)
+        self.n -= k
+        v = (self.buf >> self.n) & ((1 << k) - 1)
+        self.buf &= (1 << self.n) - 1  # keep the int bounded
         return v
 
     def restart(self):
         """Byte-align and consume an RSTn marker (T.81 B.2.1.2)."""
+        self.buf = 0
         self.n = 0
         if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
             raise ValueError("expected restart marker")
         self.pos += 2
 
 
-def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+def _huff_lut16(bits, vals):
+    """16-bit-prefix decode tables: lut_len[p]=code length (0=invalid),
+    lut_val[p]=decoded symbol, for every 16-bit window p whose leading
+    bits spell a code."""
+    lut_val = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
+    k = 0
     for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        v = lut.get((ln, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code")
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut_val[lo:hi] = vals[k]
+            lut_len[lo:hi] = ln
+            k += 1
+            code += 1
+        code <<= 1
+    return lut_val, lut_len
+
+
+def _decode_huff(br: _BitReader, lut) -> int:
+    lut_val, lut_len = lut
+    br._fill(16)
+    idx = (br.buf >> (br.n - 16)) & 0xFFFF
+    ln = lut_len[idx]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    br.n -= int(ln)
+    br.buf &= (1 << br.n) - 1
+    return int(lut_val[idx])
 
 
 def _extend(v: int, ssss: int) -> int:
@@ -369,7 +420,7 @@ def jpeg_decode_pixels(blob: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 nv = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + nv])
-                huff[(cls, tid)] = _huff_lut(bits, vals)
+                huff[(cls, tid)] = _huff_lut16(bits, vals)
                 bpos += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -408,6 +459,11 @@ def jpeg_decode_pixels(blob: bytes) -> np.ndarray:
     br = _BitReader(blob, pos)
     pred = [0] * len(comps)
     n_mcu = 0
+    # entropy decode accumulates zigzag vectors per component; dequant +
+    # inverse zigzag + IDCT run as ONE batched einsum per component
+    # afterwards (the per-block 8x8 matmuls dominated the Python loop)
+    comp_zz: list[list] = [[] for _ in comps]
+    comp_pos: list[list] = [[] for _ in comps]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_iv and n_mcu and n_mcu % restart_iv == 0:
@@ -415,12 +471,11 @@ def jpeg_decode_pixels(blob: bytes) -> np.ndarray:
                 pred = [0] * len(comps)
             n_mcu += 1
             for ci, c in enumerate(comps):
-                qt = qts[c["tq"]]
                 dct_lut = huff[(0, c["dc"])]
                 act_lut = huff[(1, c["ac"])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64
                         ssss = _decode_huff(br, dct_lut)
                         diff = _extend(br.read_bits(ssss), ssss) if ssss else 0
                         pred[ci] += diff
@@ -437,12 +492,19 @@ def jpeg_decode_pixels(blob: bytes) -> np.ndarray:
                             k += r_
                             zz[k] = _extend(br.read_bits(s_), s_)
                             k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[ZIGZAG] = zz
-                        block = _M.T @ (coef.reshape(8, 8) * qt) @ _M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        comp_zz[ci].append(zz)
+                        comp_pos[ci].append((my * c["v"] + by, mx * c["h"] + bx))
+    for ci, c in enumerate(comps):
+        if not comp_zz[ci]:
+            continue
+        zzs = np.asarray(comp_zz[ci], dtype=np.int64)  # (n, 64) zigzag order
+        coefs = np.zeros_like(zzs)
+        coefs[:, ZIGZAG] = zzs  # inverse zigzag, all blocks at once
+        deq = (coefs.reshape(-1, 8, 8) * qts[c["tq"]]).astype(np.float64)
+        blocks = np.einsum("ij,njk,kl->nil", _M.T, deq, _M) + 128.0
+        pl = planes[ci]
+        for (byi, bxi), blk in zip(comp_pos[ci], blocks):
+            pl[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
 
     # upsample each component to full resolution (nearest), crop to (h, w)
     full = []
