@@ -180,6 +180,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     verify_min_jaccard_milli: int | None = 500,
     verify_semijoin: bool | None = False,
+    semijoin_persist: bool = True,
     checkpoint=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
@@ -303,11 +304,6 @@ def minhash_lsh_pairs(
     # the 8->32-core scaling win at 2.5M docs (bench_scaling passes
     # True).  True forces it; None picks by a cheap bucket-size
     # aggregate bounding the broadcastable id count (the one eager job).
-    use_semi = False if verify_min_jaccard_milli is None else verify_semijoin
-    if use_semi is not False:
-        from pyspark import StorageLevel
-
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.select(F.col("id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("id").alias("b_id"), "band", "bh")
     cand = (
@@ -318,7 +314,12 @@ def minhash_lsh_pairs(
     )
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
+    use_semi = verify_semijoin
     if use_semi is None:
+        # one cheap bucket-size aggregate bounds the broadcastable id
+        # count — the only eager job in auto mode (a doc sharing a
+        # bucket with >= 2 members is a pair member, so sum(m) over
+        # duplicate buckets upper-bounds |candidate ids|)
         est = (
             bands.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("m"))
@@ -328,15 +329,19 @@ def minhash_lsh_pairs(
         )
         use_semi = est <= 4_000_000  # upper bound on broadcastable id rows
     if use_semi:
-        dup_buckets = (
-            bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("m"))
-            .filter(F.col("m") >= 2)
-            .select("band", "bh")
-        )
+        # the candidate relation feeds TWO consumers (the verify joins
+        # and the id-set derivation): persist() it — lazy and
+        # lineage-backed, so an executor loss recomputes instead of
+        # failing like the r3 localCheckpoint, and nothing runs at call
+        # time (r3 ADVICE).  semijoin_persist=False opts out for
+        # environments where cached reads serialize (wide local mode).
+        if semijoin_persist:
+            from pyspark import StorageLevel
+
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         ids = (
-            bands.join(dup_buckets, ["band", "bh"], "leftsemi")
-            .select("id")
+            cand.select(F.col("a_id").alias("id"))
+            .unionByName(cand.select(F.col("b_id").alias("id")))
             .distinct()
         )
         gm = gm.join(F.broadcast(ids), "id", "leftsemi")
