@@ -377,19 +377,24 @@ def main() -> None:
     # --- EXTRAS (r3): set-oriented large-batch paths.  Reported in the
     # "extras" dict so the headline "value" stays comparable to
     # BASELINE.md's 10-query reference total across rounds. ---
+    extras_reps: dict[str, list[float]] = {}
+
     def run_extra(name, fn):
         if selected is not None and name not in selected:
             return
         if warm:
             fn()
-        best = None
+        rl = []
         for _ in range(reps):
             t0 = time.time()
             counts[name] = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        extras[name] = round(best, 3)
-        print(f"  {name}: {extras[name]}s ({counts[name]} rows)", file=sys.stderr)
+            rl.append(round(time.time() - t0, 3))
+        extras[name] = min(rl)
+        # per-rep times emitted like the storage tiers (r4): host-state
+        # swings between rounds show up as rep variance, not as silent
+        # drift of a single best-of-N number
+        extras_reps[name] = rl
+        print(f"  {name}: {extras[name]}s reps {rl} ({counts[name]} rows)", file=sys.stderr)
 
     n_big_boxes = int(os.environ.get("SPARK_GRAFT_BIGBOXES", "10000"))
     big_boxes = _boxes(n_big_boxes)
@@ -543,6 +548,8 @@ def main() -> None:
         out["boxes_per_sec"] = round(len(boxes) / timings["bbox_batch"], 1)
     if extras:
         out["extras"] = extras
+    if extras_reps:
+        out["extras_reps"] = extras_reps
     if "bbox_batch_10k" in extras:
         out["boxes10k_per_sec"] = round(n_big_boxes / extras["bbox_batch_10k"], 1)
     if "knn_batch_2k" in extras:
