@@ -98,6 +98,22 @@ class TestMinhashLSH:
         for r in pairs.itertuples():
             assert _py_jaccard(pdf[r.a_id], pdf[r.b_id]) == r.jac_milli
 
+    def test_semijoin_variants_identical(self, docs_with_dups):
+        """verify_semijoin False / True / None (auto) must produce the
+        exact same verified pairs — the semi-join only prunes which docs
+        get re-shingled for verification, never which pairs survive."""
+        def key(df):
+            p = df.toPandas()
+            return sorted(map(tuple, p[["a_id", "b_id", "jac_milli"]].values.tolist()))
+
+        base = key(minhash_lsh_pairs(docs_with_dups, verify_min_jaccard_milli=500,
+                                     verify_semijoin=False))
+        assert base  # non-empty: the injected dups are present
+        assert key(minhash_lsh_pairs(docs_with_dups, verify_min_jaccard_milli=500,
+                                     verify_semijoin=True)) == base
+        assert key(minhash_lsh_pairs(docs_with_dups, verify_min_jaccard_milli=500,
+                                     verify_semijoin=None)) == base
+
 
 class TestSimhash:
     def test_exact_dups_have_zero_hamming(self, docs_with_dups):

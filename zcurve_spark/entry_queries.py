@@ -816,8 +816,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, so doc_id would be a spurious mismatch — first-arrival
     determinism across batches and restart-resume are pytest-covered
     (tests/test_streaming.py).  Oracle: one row per distinct text."""
+    import os
     import shutil
     import tempfile
+    import time
     import uuid
 
     from .streaming.dedup import streaming_exact_dedup
@@ -841,10 +843,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         stamp(base, 0).coalesce(1).write.mode("overwrite").parquet(d)
+        base_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         dups = base.filter(F.col("doc_id") % 20 == 0).withColumn(
             "doc_id", F.col("doc_id") + 5_000_000
         )
         stamp(dups, 10).coalesce(1).write.mode("append").parquet(d)
+        # ADVICE r4: FileStreamSource orders by (mtime, path); if both
+        # part-files land in the same mtime tick and the dup file's
+        # random name sorts first, base rows arrive beyond-watermark and
+        # are dropped.  Force the duplicates file strictly later.
+        now = time.time()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(
+                    os.path.join(d, f),
+                    (now, now) if f in base_files else (now + 10, now + 10),
+                )
         schema = spark.read.parquet(d).schema
         stream = (
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)

@@ -180,7 +180,6 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     verify_min_jaccard_milli: int | None = 500,
     verify_semijoin: bool | None = False,
-    semijoin_persist: bool = True,
     checkpoint=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs — the 10^12-doc path.
@@ -292,18 +291,25 @@ def minhash_lsh_pairs(
     # sharing a (band, bh) bucket with another doc is a pair member, so
     # `bands ⋉ {buckets with >= 2 docs}` is exactly the id set — the
     # (potentially enormous, quadratic) pair relation is never
-    # materialized or localCheckpoint'd (r3 ADVICE: that was eager AND
-    # non-resumable).  The linear-size band relation then feeds FOUR
-    # consumers (a-side, b-side, bucket sizes, ids), so it is persist()ed
-    # — lazy, and lineage-backed: an executor loss recomputes it, unlike
-    # localCheckpoint.  Default is False (fully lazy plan, nothing
-    # persisted, zero jobs at call time): the semi-join pays ~2 extra
-    # band-relation passes to shrink the verify-join gram shuffle from
-    # |corpus| to |candidate| rows, which is profitable only once the
-    # corpus gram shuffle dominates — measured 2x SLOWER at 5k docs but
-    # the 8->32-core scaling win at 2.5M docs (bench_scaling passes
+    # materialized, checkpointed, or persisted (r5 rework: deriving ids
+    # from `cand` made the pair relation a two-consumer node that had to
+    # be persist()ed, and the local block manager's serialized cached
+    # reads at 32 threads were the top per-stage term in the 8->32
+    # scaling profile — see BENCH_SCALING.md r5 addendum).  With ids
+    # from the band side, `cand` has exactly ONE consumer (the verify
+    # join) and nothing is persisted: every relation in the plan is
+    # linear except the join outputs themselves.  Default is False
+    # (fully lazy plan, zero jobs at call time): the semi-join pays ~2
+    # extra band-relation passes to shrink the verify-join gram shuffle
+    # from |corpus| to |candidate| rows, which is profitable only once
+    # the corpus gram shuffle dominates — measured 2x SLOWER at 5k docs
+    # but the 8->32-core scaling win at 2.5M docs (bench_scaling passes
     # True).  True forces it; None picks by a cheap bucket-size
-    # aggregate bounding the broadcastable id count (the one eager job).
+    # aggregate bounding the broadcastable id count.  Both True and None
+    # run that one eager aggregate: ADVICE r4 — a forced-True caller on
+    # a high-collision corpus must NOT broadcast an unbounded id set, so
+    # the same ids_ub <= 4M guard applies and the call degrades to the
+    # plain corpus-wide joins above the bound.
     a = bands.select(F.col("id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("id").alias("b_id"), "band", "bh")
     cand = (
@@ -315,11 +321,8 @@ def minhash_lsh_pairs(
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
     use_semi = verify_semijoin
-    if use_semi is None:
-        # one cheap bucket-size aggregate bounds the broadcastable id
-        # count — the only eager job in auto mode (a doc sharing a
-        # bucket with >= 2 members is a pair member, so sum(m) over
-        # duplicate buckets upper-bounds |candidate ids|)
+    if use_semi is None or use_semi:
+        # sum of duplicate-bucket sizes upper-bounds |candidate ids|
         est = (
             bands.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("m"))
@@ -329,22 +332,31 @@ def minhash_lsh_pairs(
         )
         use_semi = est <= 4_000_000  # upper bound on broadcastable id rows
     if use_semi:
-        # the candidate relation feeds TWO consumers (the verify joins
-        # and the id-set derivation): persist() it — lazy and
-        # lineage-backed, so an executor loss recomputes instead of
-        # failing like the r3 localCheckpoint, and nothing runs at call
-        # time (r3 ADVICE).  semijoin_persist=False opts out for
-        # environments where cached reads serialize (wide local mode).
-        if semijoin_persist:
-            from pyspark import StorageLevel
-
-            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        # duplicate buckets -> member ids, all from the linear band
+        # relation (the sig_rel shuffle under bands/a/b/dup_buckets is
+        # one identical exchange — ReuseExchange computes it once per
+        # query, verified in the r5 scaling profile)
+        dup_buckets = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= 2)
+            .select("band", "bh")
+        )
         ids = (
-            cand.select(F.col("a_id").alias("id"))
-            .unionByName(cand.select(F.col("b_id").alias("id")))
+            bands.join(dup_buckets, ["band", "bh"], "leftsemi")
+            .select("id")
             .distinct()
         )
-        gm = gm.join(F.broadcast(ids), "id", "leftsemi")
+        if checkpoint is not None:
+            # stage-backed grams: prune the parquet read by id
+            gm = gm.join(F.broadcast(ids), "id", "leftsemi")
+        else:
+            # prune docs BEFORE the shingling UDF runs — an explicit
+            # semi-join below the Arrow projection, not a filter above
+            # it that Catalyst may or may not push through the UDF
+            gm = fan_out(docs).select(F.col(id_col).alias("id"), text_col).join(
+                F.broadcast(ids), "id", "leftsemi"
+            ).select("id", distinct_ngrams_arrow(text_col, n).alias("grams"))
     cand = (
         cand.join(gm.withColumnRenamed("id", "a_id").withColumnRenamed("grams", "ga"), "a_id")
         .join(gm.withColumnRenamed("id", "b_id").withColumnRenamed("grams", "gb"), "b_id")

@@ -211,8 +211,11 @@ def knn_batch(
         n_points_hint = 1_000_000
     kmax_row = queries.agg(F.max("k")).first()[0]
     if kmax_row is None:  # empty query batch: return an empty result, same schema
+        # ADVICE r4: x/y must be LONG to match the non-empty path (the
+        # store carries long coords) and sibling knn() — a mismatched
+        # empty schema breaks downstream unions/writes.
         return spark.createDataFrame(
-            [], "qid long, rank int, pid long, x int, y int, d2 long"
+            [], "qid long, rank int, pid long, x long, y long, d2 long"
         )
     kmax = int(kmax_row)
     r = max(64, int(domain * math.sqrt(16.0 * kmax / max(n_points_hint, 1)) / 2))

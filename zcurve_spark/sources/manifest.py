@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_zcurve_manifest.json"
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest write: temp file in the same directory +
+    os.replace (ADVICE r4 — a crash mid-open('w') would corrupt the
+    manifest that StageRunner resume and every pruned reader depend on;
+    os.replace is atomic on POSIX within one filesystem)."""
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, final)
+
+
 def _footer_stats(fpath: str, zkey_col: str, stat_cols=()) -> dict:
     """Per-file stats from the parquet FOOTER only (no data scan):
     zkey min/max per row group + whole-file min/max for `stat_cols` —
@@ -123,8 +135,7 @@ def write_sorted(
             "rows_max": max((f["rows"] for f in files), default=0),
         },
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -153,8 +164,7 @@ def augment_manifest_stats(path: str, stat_cols=("x", "y")) -> dict:
         f["bytes"] = fs["bytes"]
         f["stats"] = {**f.get("stats", {}), **fs["stats"]}
     if missing:
-        with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-            json.dump(m, fh, indent=1)
+        _write_manifest(path, m)
     return m
 
 
