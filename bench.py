@@ -127,21 +127,26 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES", "")
     selected = set(q.strip() for q in only.split(",") if q.strip()) if only else None
 
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+
+    # r4 VERDICT #1: headline rows get the SAME protocol that stabilized
+    # the storage tiers — queries are only REGISTERED here, then executed
+    # at the end of main() as one warm pass plus `reps` ROUND-ROBIN
+    # interleaved passes over every live row, with each per-rep wall time
+    # emitted in the json ("headline_reps"/"extras_reps").  A host-state
+    # swing during the window then shows up as variance inside each row's
+    # own rep array instead of silently poisoning whichever row happened
+    # to be running (r4: tile_assign recorded 3.86s driver-run vs 1.33s
+    # builder same-code because each row ran best-of-2 back to back in
+    # its own window).
+    headline_rows: list[tuple[str, object]] = []
+    extras_rows: list[tuple[str, object]] = []
 
     def run(name, fn):
-        if selected is not None and name not in selected:
-            return
-        if warm:
-            fn()  # warmup: JIT + codegen compile outside the timed window
-        best = None
-        for _ in range(reps):  # best-of-N: the host is shared; min time
-            t0 = time.time()   # measures capability, not noisy neighbors
-            counts[name] = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
+        headline_rows.append((name, fn))
+
+    def run_extra(name, fn):
+        extras_rows.append((name, fn))
 
     # --- tile assignment (flagship; docs/sec + spans/sec) ---
     docs = interleaved_docs(spark, sf_dir)
@@ -166,7 +171,6 @@ def main() -> None:
         return agg.agg(F.sum("n_spans")).collect()[0][0]
 
     run("tile_assign", tile_assign)
-    n_spans = counts.get("tile_assign", n_spans_in)
 
     # compute-bound twin: the sf0.1 docs table is tiny enough that
     # tile_assign above measures job overhead, not the engine; this row
@@ -377,25 +381,6 @@ def main() -> None:
     # --- EXTRAS (r3): set-oriented large-batch paths.  Reported in the
     # "extras" dict so the headline "value" stays comparable to
     # BASELINE.md's 10-query reference total across rounds. ---
-    extras_reps: dict[str, list[float]] = {}
-
-    def run_extra(name, fn):
-        if selected is not None and name not in selected:
-            return
-        if warm:
-            fn()
-        rl = []
-        for _ in range(reps):
-            t0 = time.time()
-            counts[name] = fn()
-            rl.append(round(time.time() - t0, 3))
-        extras[name] = min(rl)
-        # per-rep times emitted like the storage tiers (r4): host-state
-        # swings between rounds show up as rep variance, not as silent
-        # drift of a single best-of-N number
-        extras_reps[name] = rl
-        print(f"  {name}: {extras[name]}s reps {rl} ({counts[name]} rows)", file=sys.stderr)
-
     n_big_boxes = int(os.environ.get("SPARK_GRAFT_BIGBOXES", "10000"))
     big_boxes = _boxes(n_big_boxes)
 
@@ -483,12 +468,45 @@ def main() -> None:
     d = amplify_docs(fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")), mult)
 
     def minhash_dedup():
-        # see bench_scaling.py: identical-plan cache reuse would otherwise
-        # make warm reps measure cached-signature reads, not the pipeline
-        spark.catalog.clearCache()
+        # nothing in the r5 pipeline persists or caches (the semi-join
+        # rework removed the last persist()), so no clearCache here —
+        # a global clearCache would evict the spans_in cache that the
+        # interleaved tile_assign reps share
         return minhash_lsh_pairs(d, verify_min_jaccard_milli=100).count()
 
     run("minhash_dedup", minhash_dedup)
+
+    # --- the full production dedup chain (r4 VERDICT #7): LSH pairs ->
+    # connected components -> canonical selection, on an amplified corpus
+    # read back from parquet (consuming the amplify expression inside the
+    # shingling UDF would re-evaluate its tree per element — see
+    # bench_scaling.py).  Default 64x (~320k docs) keeps the driver's
+    # per-round window bounded; BASELINE.md records the 512x
+    # (bench_scaling-input) throughput from a dedicated run.
+    dedup_mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "64"))
+
+    def dedup_pipeline():
+        from zcurve_spark.operators.dedup import connected_components
+
+        p = os.path.join("/tmp/zcurve_stage", f"docs_x{dedup_mult}")
+        if not os.path.exists(p + "/_SUCCESS"):
+            amplify_docs(
+                fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")), dedup_mult
+            ).write.mode("overwrite").parquet(p)
+        corpus = fan_out(spark.read.parquet(p))
+        # plant exact dups (1/50 docs re-delivered under shifted ids) so
+        # the components stage has real clusters to resolve
+        extra = corpus.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100_000_000
+        )
+        pairs = minhash_lsh_pairs(
+            corpus.unionByName(extra), verify_min_jaccard_milli=990, verify_semijoin=None
+        )
+        comp = connected_components(pairs)
+        keep = comp.filter(F.col("id") == F.col("component"))
+        return keep.count()
+
+    run_extra("dedup_pipeline", dedup_pipeline)
 
     # --- ANN top-k ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -526,6 +544,40 @@ def main() -> None:
 
     run_extra("ivf_batch_10k", ivf_batch_10k)
 
+    # --- EXECUTION (r4 VERDICT #1): one warm pass over every live row,
+    # then `reps` round-robin interleaved passes — the storage tiers'
+    # protocol applied to every headline and extras row.  best + median
+    # + the full rep array land in the json.
+    live_h = [(n, f) for n, f in headline_rows if selected is None or n in selected]
+    live_e = [(n, f) for n, f in extras_rows if selected is None or n in selected]
+    live = live_h + live_e
+    per_rep: dict[str, list[float]] = {n: [] for n, _ in live}
+    if warm:
+        for n, f in live:
+            counts[n] = f()
+    for _ in range(reps):
+        for n, f in live:
+            t0 = time.time()
+            counts[n] = f()
+            per_rep[n].append(round(time.time() - t0, 3))
+    headline_reps: dict[str, dict] = {}
+    extras_reps: dict[str, list[float]] = {}
+    for n, _ in live:
+        rl = sorted(per_rep[n])
+        med = rl[len(rl) // 2]
+        if any(n == hn for hn, _ in live_h):
+            timings[n] = rl[0]
+            headline_reps[n] = {"reps": per_rep[n], "best": rl[0], "median": med}
+        else:
+            extras[n] = rl[0]
+            extras_reps[n] = per_rep[n]
+        print(
+            f"  {n}: best {rl[0]}s median {med}s reps {per_rep[n]} "
+            f"({counts[n]} rows)",
+            file=sys.stderr,
+        )
+    n_spans = counts.get("tile_assign", n_spans_in)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -550,12 +602,20 @@ def main() -> None:
         out["extras"] = extras
     if extras_reps:
         out["extras_reps"] = extras_reps
+    if headline_reps:
+        out["headline_reps"] = headline_reps
     if "bbox_batch_10k" in extras:
         out["boxes10k_per_sec"] = round(n_big_boxes / extras["bbox_batch_10k"], 1)
     if "knn_batch_2k" in extras:
         out["knn_queries_per_sec"] = round(n_knn_batch / extras["knn_batch_2k"], 1)
     if "ivf_batch_10k" in extras and extras["ivf_batch_10k"] > 0:
         out["ivf_queries_per_sec"] = round(n_ivf_batch / extras["ivf_batch_10k"], 1)
+    if "dedup_pipeline" in extras and extras["dedup_pipeline"] > 0:
+        n_base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_chain_docs = n_base_docs * dedup_mult + (n_base_docs * dedup_mult) // 50
+        out["dedup_mult"] = dedup_mult
+        out["dedup_chain_docs"] = n_chain_docs
+        out["dedup_docs_per_sec"] = round(n_chain_docs / extras["dedup_pipeline"], 1)
     if "bbox_pruned" in timings and "bbox_scan_unsorted" in timings and timings["bbox_pruned"] > 0:
         out["layout_speedup"] = round(
             timings["bbox_scan_unsorted"] / timings["bbox_pruned"], 2

@@ -448,3 +448,102 @@ class TestAviCodec:
         )
         out = resize_images(frames_df, 8, 8).collect()
         assert all((o.width, o.height) == (8, 8) for o in out)
+
+
+class TestMjpegAvi:
+    """Motion-JPEG in AVI (r4 VERDICT #6): '00dc' chunks holding REAL
+    baseline JPEGs, routed through the in-tree T.81 decoder via the
+    strf biCompression fourcc — the first compressed video format the
+    pipeline decodes end-to-end."""
+
+    def test_roundtrip_frames_close(self):
+        import numpy as np
+
+        from zcurve_spark.sources.media import (
+            _avi_encode,
+            _avi_frames,
+            _bmp_pixels,
+            synth_bmp_blob,
+        )
+
+        base = _bmp_pixels(synth_bmp_blob(5, width=20, height=12))
+        frames = [np.roll(base, i, axis=0) for i in range(5)]
+        blob = _avi_encode(frames, fps=4, codec="MJPG")
+        got, uspf = _avi_frames(blob)
+        assert uspf == 250_000
+        assert got.shape == (5, 12, 20, 3)
+        # JPEG is lossy: frames must be close, not equal (same tolerance
+        # class as the still-JPEG roundtrip tests)
+        for i in range(5):
+            err = np.abs(got[i].astype(int) - frames[i].astype(int)).mean()
+            assert err < 12.0, (i, err)
+
+    def test_mjpeg_is_compressed_and_flagged(self):
+        import struct
+
+        from zcurve_spark.sources.media import (
+            MJPG_FOURCC,
+            synth_avi_blob,
+            synth_mjpeg_avi_blob,
+        )
+
+        dib = synth_avi_blob(7, width=48, height=32, n_frames=6)
+        mj = synth_mjpeg_avi_blob(7, width=48, height=32, n_frames=6)
+        assert len(mj) < len(dib)  # actually compressed
+        assert struct.pack("<I", MJPG_FOURCC) == b"MJPG"
+        assert b"MJPG" in mj[:200]  # strh handler + strf compression
+        assert b"00dc" in mj and b"00db" not in mj
+
+    def test_codec_dispatch_and_features(self):
+        import numpy as np
+
+        from zcurve_spark.sources.media import (
+            codec_decode,
+            decode_avi,
+            synth_mjpeg_avi_blob,
+        )
+
+        b = synth_mjpeg_avi_blob(9)
+        f = codec_decode(b, "video")
+        assert np.array_equal(f, decode_avi(b))
+        assert f[0] == 8.0  # n_frames
+        assert f[4] > 0  # motion energy: frames differ
+
+    def test_frame_extract_emits_mjpeg_frames(self, spark):
+        import numpy as np
+
+        from zcurve_spark.sources.media import (
+            _avi_frames,
+            _bmp_pixels,
+            frame_extract,
+            synth_mjpeg_avi_blob,
+        )
+
+        blob = synth_mjpeg_avi_blob(3, width=24, height=16, n_frames=6, fps=10)
+        df = spark.createDataFrame([("v0", blob)], "media_ref string, blob binary")
+        rows = frame_extract(df, every_ms=200).collect()
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.ts_ms)] == [0, 2, 4]
+        src, _ = _avi_frames(blob)  # decoded MJPEG frames
+        for r in rows:
+            # the BMP bridge re-encodes the DECODED frame losslessly
+            assert (_bmp_pixels(bytes(r.frame_bmp)) == src[r.frame_idx]).all()
+
+    def test_unknown_compression_raises(self):
+        import struct
+
+        from zcurve_spark.sources.media import _avi_frames, synth_mjpeg_avi_blob
+
+        blob = bytearray(synth_mjpeg_avi_blob(1))
+        # patch every header MJPG fourcc (strh handler + strf
+        # biCompression) to a codec the parser does not implement
+        n_patched = 0
+        i = blob.find(b"MJPG")
+        while 0 <= i < 400:
+            blob[i : i + 4] = struct.pack("<I", int.from_bytes(b"H264", "little"))
+            n_patched += 1
+            i = blob.find(b"MJPG")
+        assert n_patched >= 2
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unsupported AVI compression"):
+            _avi_frames(bytes(blob))

@@ -275,3 +275,77 @@ def test_ivf_topk_batch_shuffle_plan_no_probe_broadcast(spark, emb):
         if l.strip().startswith("(") and "BroadcastExchange" in l
     ]
     assert len(bx) <= 1, plan[:2000]
+
+
+def test_ivf_seeds_store_reuse_zero_lloyd(spark, emb, tmp_path):
+    """r4 VERDICT #4: the coarse quantizer is a build-once artifact —
+    the second get_or_build with the same (fingerprint, n_cells) must
+    return identical seeds WITHOUT running ivf_seeds (zero Lloyd jobs,
+    asserted via the module build counter), and the cached seeds must
+    leave ivf_topk results unchanged."""
+    import pandas as pd
+
+    from zcurve_spark.operators import similarity as S
+
+    store = S.IvfSeedsStore(str(tmp_path / "seeds"))
+    s1 = store.get_or_build(emb, 16, "fp-emb-v1")
+    builds_after_first = S._IVF_SEED_BUILDS
+    s2 = store.get_or_build(emb, 16, "fp-emb-v1")
+    assert s2 == s1
+    assert S._IVF_SEED_BUILDS == builds_after_first  # cache hit: no build
+    # different key -> rebuild
+    store.get_or_build(emb, 8, "fp-emb-v1")
+    assert S._IVF_SEED_BUILDS == builds_after_first + 1
+    # results through the store == results with inline seeds
+    ref = (
+        S.ivf_topk(emb, [0, 1, 2], 5, n_cells=16, nprobe=4)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        S.ivf_topk(emb, [0, 1, 2], 5, n_cells=16, nprobe=4,
+                   seeds_store=(store, "fp-emb-v1"))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_ivf_cogroup_q_chunk_identical_on_skewed_cell(spark, emb):
+    """r4 VERDICT #8: a pathologically hot cell (>= 50% of corpus AND
+    queries routed to one cell) must produce bit-identical results with
+    a tiny q_chunk (many chunks -> peak matmul allocation capped at
+    q_chunk * |cell| int64s) as with an effectively-unchunked run and
+    as with the broadcast path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.operators import similarity as S
+
+    # corpus: 60 of 120 vectors share a dominant direction -> one hot
+    # cell; the rest scatter (deterministic LCG directions)
+    dim = 8
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            v = [5.0 + 0.001 * i] + [0.01 * ((i * 7) % 5)] * (dim - 1)
+        else:
+            h = (i * 2654435761 + 11) % 97
+            v = [0.2 * ((h + j * 13) % 7 - 3) for j in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = S.ivf_seeds(e, 4)
+    # confirm the skew premise: one cell holds >= 50% of the corpus
+    cells = e.select(S.ivf_cell_udf("embedding", seeds).alias("c")).toPandas()["c"]
+    assert cells.value_counts().iloc[0] >= 60
+    qdf = e.select(F.col("vec_id").alias("qid"))
+    kw = dict(n_cells=4, nprobe=2, seeds=seeds)
+    ref = (
+        S.ivf_topk_batch(e, qdf, 5, broadcast_queries=True, **kw)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    for qc in (7, 10**9):
+        got = (
+            S.ivf_topk_batch(e, qdf, 5, broadcast_queries=False, q_chunk=qc, **kw)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref)
