@@ -422,6 +422,43 @@ def main() -> None:
 
     run_extra("knn_batch_2k", knn_batch_2k)
 
+    def knn_geo_2k():
+        # geodetic batch kNN (r5): same batch size as knn_batch_2k but
+        # over lon/lat with the lat-banded haversine tile join per round
+        from zcurve_spark.operators.knn import knn_geo_batch
+
+        geo = pts.select(
+            "pid",
+            (F.col("x") / F.lit(1000000.0) * F.lit(360.0) - F.lit(180.0)).alias("lon"),
+            (F.col("y") / F.lit(1000000.0) * F.lit(180.0) - F.lit(90.0)).alias("lat"),
+        )
+        qdf = spark.range(n_knn_batch).select(
+            F.col("id").alias("qid"),
+            (((F.col("id") * 137_777 + 50_000) % DOMAIN) / F.lit(1000000.0) * 360.0 - 180.0).alias("lon"),
+            (((F.col("id") * 733_333 + 90_000) % DOMAIN) / F.lit(1000000.0) * 180.0 - 90.0).alias("lat"),
+        )
+        return knn_geo_batch(qdf, geo, 10, n_points_hint=n_points).count()
+
+    run_extra("knn_geo_2k", knn_geo_2k)
+
+    def snapshot_cycle():
+        # snapshot-store ingestion cycle (r5): two append commits + one
+        # compaction over the full points table — the Iceberg-commit
+        # analog's write-path overhead (footer-stats scan + atomic
+        # manifest swings) on top of the raw parquet writes
+        import shutil
+
+        from zcurve_spark.sources.snapshots import SnapshotStore
+
+        p = "/tmp/zcurve_stage/bench_snap"
+        shutil.rmtree(p, ignore_errors=True)
+        st = SnapshotStore(spark, p)
+        st.commit(pts.filter(F.col("pid") % 2 == 0), created_unix=1)
+        st.commit(pts.filter(F.col("pid") % 2 == 1), created_unix=2)
+        return st.compact(created_unix=3)["total_rows"]
+
+    run_extra("snapshot_cycle", snapshot_cycle)
+
     def distance_join_self():
         # large-large spatial join: 600k x 600k self-join within radius
         # via the grid-bucketed equi-join (neither side broadcast)

@@ -147,3 +147,96 @@ def test_two_table_join_no_dedup(spark):
     pairs = set(map(tuple, got[["a_id", "b_id"]].values.tolist()))
     assert (1, 10) in pairs  # ~4.6 km
     assert (2, 20) not in pairs  # 170E vs 170W at 40S is ~1700 km
+
+
+# ---------------------------------------------------------------------------
+# geodetic kNN (knn_geo_batch)
+# ---------------------------------------------------------------------------
+
+from zcurve_spark.operators.knn import knn_geo_batch  # noqa: E402
+
+
+def _py_knn(pts, queries, k):
+    out = {}
+    for qid, qlon, qlat in queries:
+        ranked = sorted(
+            ((_hav_m(qlon, qlat, lon, lat), pid) for pid, lon, lat in pts)
+        )[:k]
+        out[qid] = [pid for _, pid in ranked]
+    return out
+
+
+_KNN_QUERIES = [
+    (0, 10.2, 48.3),      # inside the mid-lat cluster
+    (1, -170.0, 85.05),   # high latitude
+    (2, 179.97, -12.2),   # antimeridian
+    (3, 60.0, 89.95),     # near pole
+    (4, -100.0, -55.0),   # sparse region: forces radius expansion
+]
+
+
+def test_knn_geo_matches_python_model(spark):
+    pts = _points()
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    qdf = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
+    got = knn_geo_batch(qdf, df, 4, n_points_hint=len(pts)).toPandas()
+    expect = _py_knn(pts, _KNN_QUERIES, 4)
+    assert len(got) == 4 * len(_KNN_QUERIES)
+    for qid, pids in expect.items():
+        sub = got[got.qid == qid].sort_values("rank")
+        assert sub["pid"].tolist() == pids
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_knn_geo_forces_multiple_rounds(spark):
+    """Tiny r0 forces several expansion rounds; results must not depend
+    on the round schedule."""
+    pts = _points()
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    qdf = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
+    got = knn_geo_batch(qdf, df, 3, r0_m=5_000.0).toPandas()
+    expect = _py_knn(pts, _KNN_QUERIES, 3)
+    for qid, pids in expect.items():
+        assert got[got.qid == qid].sort_values("rank")["pid"].tolist() == pids
+
+
+def test_knn_geo_whole_sphere_termination(spark):
+    """k close to |points| needs the whole-sphere cap round; coverage by
+    count alone must still terminate and return everything ranked."""
+    pts = _points()[:6]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    qdf = spark.createDataFrame([(0, 0.0, 0.0)], "qid long, lon double, lat double")
+    got = knn_geo_batch(qdf, df, 6, r0_m=1_000.0).toPandas()
+    assert sorted(got["pid"].tolist()) == sorted(p[0] for p in pts)
+
+
+def test_knn_geo_fewer_than_k_points_returns_all_ranked(spark):
+    """Standard top-k semantics: |points| < k returns every point
+    ranked (same as the oracle's row_number filter)."""
+    pts = _points()[:3]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    qdf = spark.createDataFrame([(0, 0.0, 0.0)], "qid long, lon double, lat double")
+    got = knn_geo_batch(qdf, df, 5, r0_m=1_000.0).toPandas()
+    assert sorted(got["pid"].tolist()) == sorted(p[0] for p in pts)
+    assert sorted(got["rank"].tolist()) == [1, 2, 3]
+
+
+def test_knn_geo_oracle_margin_sf001(spark):
+    """The CORRECTNESS oracle orders by an engine-float hav: assert the
+    rank-adjacent hav gaps at every query are far above double ulp, so
+    JVM-vs-DuckDB libm differences cannot flip the ranking."""
+    from zcurve_spark.entry_queries import (
+        GEO_KNN_K,
+        GEO_KNN_QUERIES,
+        _geo_points,
+    )
+
+    geo = _geo_points(spark, "/root/testdata/sf0.001").collect()
+    pts = [(r["pid"], r["lon"], r["lat"]) for r in geo]
+    for qid, qlon, qlat in GEO_KNN_QUERIES:
+        ranked = sorted(
+            ((_hav_m(qlon, qlat, lon, lat), pid) for pid, lon, lat in pts)
+        )[: GEO_KNN_K + 1]
+        for (d1, _), (d2, _) in zip(ranked, ranked[1:]):
+            # relative gap: libm implementations agree to ~1 ulp (1e-16)
+            assert (d2 - d1) / max(d2, 1e-9) > 1e-9, (qid, d1, d2)

@@ -1,0 +1,201 @@
+"""SnapshotStore: atomic commits, time travel, compaction, expiry.
+
+The Iceberg-commit-model analog over the manifest store
+(zcurve_spark/sources/snapshots.py) — every mutation is a new immutable
+snapshot; readers pin ids; expiry is the only deletion path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zcurve_spark.functions.columns import zkey2_col
+from zcurve_spark.sources.manifest import MANIFEST_NAME, load_manifest
+from zcurve_spark.sources.snapshots import SnapshotStore
+
+
+def _pts(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("pid"),
+            (F.col("id") * 37 % 1024).alias("x"),
+            (F.col("id") * 91 % 1024).alias("y"),
+        )
+        .withColumn("zkey", zkey2_col("x", "y"))
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "tbl"))
+
+
+class TestCommits:
+    def test_append_chain_and_history(self, spark, store):
+        m1 = store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        m2 = store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        assert (m1["snapshot_id"], m2["snapshot_id"]) == (1, 2)
+        assert m2["parent_id"] == 1
+        assert m1["total_rows"] == 100 and m2["total_rows"] == 150
+        # append carries parent files forward
+        assert m2["summary"]["carried_files"] == len(m1["files"])
+        hist = store.snapshots()
+        assert [h["snapshot_id"] for h in hist] == [1, 2]
+        assert [h["total_rows"] for h in hist] == [100, 150]
+        # pointer == current snapshot manifest, readers see v2
+        assert load_manifest(store.path)["snapshot_id"] == 2
+        assert store.read().count() == 150
+
+    def test_overwrite_drops_parent_files_from_current(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        m2 = store.commit(
+            _pts(spark, 500, 520), operation="overwrite", created_unix=20, n_partitions=1
+        )
+        assert m2["summary"]["carried_files"] == 0
+        assert store.read().count() == 20
+        # the old snapshot still reads in full (nothing deleted)
+        assert store.read(snapshot_id=1).count() == 100
+
+    def test_zkey_col_mismatch_rejected(self, spark, store):
+        store.commit(_pts(spark, 0, 10), created_unix=10, n_partitions=1)
+        with pytest.raises(ValueError, match="zkey_col"):
+            store.commit(
+                _pts(spark, 10, 20).withColumnRenamed("zkey", "hkey"),
+                zkey_col="hkey",
+                created_unix=20,
+            )
+
+    def test_commit_files_are_sorted_with_stats(self, spark, store):
+        m = store.commit(_pts(spark, 0, 1000), created_unix=10, n_partitions=4)
+        files = m["files"]
+        assert len(files) == 4
+        # range partitioning: per-file zkey ranges are disjoint & ordered
+        spans = sorted((f["zkey_min"], f["zkey_max"]) for f in files)
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+        # coordinate stats present (the pruning contract)
+        assert all("x" in f["stats"] and "y" in f["stats"] for f in files)
+
+
+class TestTimeTravel:
+    def test_read_by_id_and_timestamp(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=1_000, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=2_000, n_partitions=2)
+        assert store.read(snapshot_id=1).count() == 100
+        assert store.read(as_of_unix=1_500).count() == 100
+        assert store.read(as_of_unix=2_000).count() == 150
+        with pytest.raises(LookupError):
+            store.snapshot(as_of_unix=999)
+        with pytest.raises(LookupError):
+            store.snapshot(77)
+
+    def test_snapshot_rows_exact(self, spark, store):
+        store.commit(_pts(spark, 0, 50), created_unix=10, n_partitions=1)
+        store.commit(_pts(spark, 50, 80), created_unix=20, n_partitions=1)
+        v1 = {r["pid"] for r in store.read(snapshot_id=1).collect()}
+        v2 = {r["pid"] for r in store.read(snapshot_id=2).collect()}
+        assert v1 == set(range(50))
+        assert v2 == set(range(80))
+
+    def test_pruned_read_on_old_snapshot(self, spark, store):
+        store.commit(_pts(spark, 0, 1000), created_unix=10, n_partitions=4)
+        store.commit(_pts(spark, 1000, 1200), created_unix=20, n_partitions=2)
+        m1 = store.snapshot(1)
+        lo = m1["files"][0]["zkey_min"]
+        hi = m1["files"][0]["zkey_max"]
+        got = store.read_pruned([(lo, hi)], snapshot_id=1)
+        want = store.read(snapshot_id=1).filter(F.col("zkey").between(lo, hi))
+        assert got.filter(F.col("zkey").between(lo, hi)).count() == want.count()
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_restores_clustering(self, spark, store):
+        store.commit(_pts(spark, 0, 500), created_unix=10, n_partitions=4)
+        store.commit(_pts(spark, 500, 1000), created_unix=20, n_partitions=4)
+        # two appended mini-layouts: zkey ranges overlap across commits
+        m2 = store.snapshot(2)
+        assert len(m2["files"]) == 8
+        m3 = store.compact(created_unix=30)
+        assert m3["operation"] == "replace"
+        assert m3["summary"]["carried_files"] == 0
+        assert m3["lineage"]["compacted_from"] == 2
+        # same row set
+        assert {r["pid"] for r in store.read().collect()} == set(range(1000))
+        # single sorted run again: disjoint per-file ranges
+        spans = sorted((f["zkey_min"], f["zkey_max"]) for f in m3["files"])
+        for (l1, h1), (l2, _h2) in zip(spans, spans[1:]):
+            assert h1 <= l2
+        # parent still time-travels
+        assert store.read(snapshot_id=2).count() == 1000
+        assert store.read(snapshot_id=1).count() == 500
+
+
+class TestExpire:
+    def _history(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 200), created_unix=20, n_partitions=2)
+        store.compact(created_unix=30)
+        return store
+
+    def test_dry_run_touches_nothing(self, spark, store):
+        self._history(spark, store)
+        rep = store.expire(keep_last=1, dry_run=True)
+        assert rep["removed_snapshots"] == [1, 2]
+        assert rep["removed_files"]  # v1+v2 delta files unreferenced by v3
+        assert store.read(snapshot_id=1).count() == 100  # still there
+
+    def test_expire_removes_only_unreferenced(self, spark, store):
+        self._history(spark, store)
+        rep = store.expire(keep_last=1)
+        assert rep["kept_snapshots"] == [3]
+        # dropped snapshot manifests are gone
+        assert store.snapshot_ids() == [3]
+        for rel in rep["removed_files"]:
+            assert not os.path.exists(os.path.join(store.path, rel))
+        # current snapshot reads in full after the delete
+        assert store.read().count() == 200
+
+    def test_append_chain_expiry_keeps_shared_files(self, spark, store):
+        # v2 carries v1's files: expiring v1 must NOT delete them
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        rep = store.expire(keep_last=1)
+        assert rep["removed_snapshots"] == [1]
+        assert rep["removed_files"] == []  # all v1 files referenced by v2
+        assert store.read().count() == 150
+
+    def test_current_always_kept(self, spark, store):
+        self._history(spark, store)
+        with pytest.raises(ValueError):
+            store.expire(keep_last=0)
+
+
+class TestCrashContract:
+    def test_torn_pointer_write_leaves_previous_snapshot(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=1)
+        # simulate a crash mid-commit: temp pointer file exists, pointer
+        # itself untouched — readers still see v1, and a later commit
+        # proceeds normally
+        tmp = os.path.join(store.path, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write('{"torn": true')
+        assert load_manifest(store.path)["snapshot_id"] == 1
+        m2 = store.commit(_pts(spark, 100, 120), created_unix=20, n_partitions=1)
+        assert m2["snapshot_id"] == 2
+        assert store.read().count() == 120
+
+    def test_orphaned_snapshot_manifest_is_inert(self, spark, store):
+        # crash AFTER writing manifest.v2.json but BEFORE the pointer
+        # swing: current stays v1; the orphan is visible in history but
+        # never read unless pinned explicitly
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=1)
+        orphan = dict(store.snapshot(1), snapshot_id=2, parent_id=1)
+        with open(store._snap_manifest_path(2), "w") as fh:
+            json.dump(orphan, fh)
+        assert load_manifest(store.path)["snapshot_id"] == 1
+        assert store.read().count() == 100

@@ -540,6 +540,116 @@ def q_distance_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# geodetic kNN: fixed query points (deliberately off the synthetic
+# grid's symmetry axes so no two corpus points tie on haversine
+# distance to any query within float ulp — margin pytest-audited),
+# covering mid-lat, equator, high latitude, both antimeridian sides,
+# and a near-pole cell
+GEO_KNN_K = 5
+GEO_KNN_QUERIES = [
+    (0, 10.5, 20.25),
+    (1, 0.125, 0.0625),
+    (2, 5.5, 85.25),
+    (3, 179.875, 40.125),
+    (4, -179.9375, -70.0625),
+    (5, -45.25, 89.0625),
+]
+# oracle twin of the query VALUES: repr round-trips the exact doubles
+_GEO_KNN_VALUES = ", ".join(
+    f"({qid}, {lon!r}, {lat!r})" for qid, lon, lat in GEO_KNN_QUERIES
+)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lon/lat derivation for the geo entries (exact IEEE
+    divide/multiply/subtract, reproducible in DuckDB)."""
+    pts = points_from_lineitem(spark, sf_dir).filter(F.col("pid") % 20 == 0)
+    return pts.select(
+        "pid",
+        (F.col("x") / F.lit(1000000.0) * F.lit(360.0) - F.lit(180.0)).alias("lon"),
+        (F.col("y") / F.lit(1000000.0) * F.lit(180.0) - F.lit(90.0)).alias("lat"),
+    )
+
+
+def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic batch kNN (knn_geo_batch): expanding-radius rounds over
+    the lat-banded tile join, top-k by (haversine, pid).  Output is
+    (qid, rank, pid) — ids only, the hav double stays engine-internal
+    (same portability contract as distance_join_geo)."""
+    from .operators.knn import knn_geo_batch
+
+    geo = _geo_points(spark, sf_dir)
+    qdf = spark.createDataFrame(GEO_KNN_QUERIES, "qid long, lon double, lat double")
+    return knn_geo_batch(qdf, geo, GEO_KNN_K, n_points_hint=3000).select(
+        "qid", "rank", "pid"
+    )
+
+
+def _snapshot_demo_store(spark: SparkSession, sf_dir: str):
+    """Build (once per input fingerprint) the snapshot-history demo
+    table: v1 = even-pid points, v2 = append odd pids, v3 = compaction
+    (replace).  All three snapshots stay readable — time travel is the
+    query under test, so nothing is expired here (expire has its own
+    pytests)."""
+    import os
+    import shutil
+
+    from .sources.snapshots import SnapshotStore
+    from .sources.store import _input_fingerprint, work_root
+
+    fp = _input_fingerprint(sf_dir, "lineitem", bits=BITS, demo="snapshots-v1")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(work_root(), tag, "snapshot_demo")
+    st = SnapshotStore(spark, path)
+    cur = st.current()
+    if (
+        cur is None
+        or cur.get("lineage", {}).get("fingerprint") != fp
+        or cur.get("snapshot_id") != 3
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        st = SnapshotStore(spark, path)
+        pts = points_from_lineitem(spark, sf_dir)
+        st.commit(
+            pts.filter(F.col("pid") % 2 == 0),
+            lineage={"fingerprint": fp},
+            created_unix=1_000,
+        )
+        st.commit(
+            pts.filter(F.col("pid") % 2 == 1),
+            lineage={"fingerprint": fp},
+            created_unix=2_000,
+        )
+        st.compact(created_unix=3_000)
+    return st
+
+
+def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (sources/snapshots.py): after an append and
+    a compaction, reading snapshot v1 returns EXACTLY the pre-append
+    rows — the Iceberg-commit-model guarantee that makes pinned-snapshot
+    backfills reproducible at 10^12 rows."""
+    st = _snapshot_demo_store(spark, sf_dir)
+    b = BBOX_SINGLE
+    return st.read(snapshot_id=1).filter(
+        F.col("x").between(b["mins"][0], b["maxs"][0])
+        & F.col("y").between(b["mins"][1], b["maxs"][1])
+    ).select("pid", "x", "y")
+
+
+def q_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction correctness: the current snapshot (v3 = replace-all
+    rewrite of v1+v2) holds the COMPLETE row set — append + compact
+    loses and duplicates nothing, and the rewritten layout is what the
+    pruned readers consume."""
+    st = _snapshot_demo_store(spark, sf_dir)
+    b = BBOX_SINGLE
+    return st.read().filter(
+        F.col("x").between(b["mins"][0], b["maxs"][0])
+        & F.col("y").between(b["mins"][1], b["maxs"][1])
+    ).select("pid", "x", "y")
+
+
 def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_lineitem(spark, sf_dir)
     hits = pip_join(pts, POLYGONS, bits=BITS)
@@ -1315,6 +1425,43 @@ def _oracle_sql() -> dict[str, str]:
                   * SIN((a.lon - b.lon) * {_GEO_RAD} / 2) * SIN((a.lon - b.lon) * {_GEO_RAD} / 2)
                 <= {_GEO_HAV_THR}
         """,
+        "knn_geo": f"""
+            WITH {PTS_CTE},
+            g AS (
+              SELECT pid,
+                     x / 1000000.0 * 360.0 - 180.0 AS lon,
+                     y / 1000000.0 * 180.0 - 90.0 AS lat
+              FROM pts WHERE pid % 20 = 0
+            ),
+            q AS (SELECT * FROM (VALUES {_GEO_KNN_VALUES}) t(qid, qlon, qlat)),
+            d AS (
+              SELECT q.qid, g.pid,
+                     SIN((q.qlat - g.lat) * {_GEO_RAD} / 2) * SIN((q.qlat - g.lat) * {_GEO_RAD} / 2)
+                   + COS(q.qlat * {_GEO_RAD}) * COS(g.lat * {_GEO_RAD})
+                     * SIN((q.qlon - g.lon) * {_GEO_RAD} / 2) * SIN((q.qlon - g.lon) * {_GEO_RAD} / 2)
+                     AS hav
+              FROM q CROSS JOIN g
+            ),
+            r AS (
+              SELECT qid, pid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hav, pid) AS rank
+              FROM d
+            )
+            SELECT qid, rank, pid FROM r WHERE rank <= {GEO_KNN_K}
+        """,
+        "store_time_travel": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE pid % 2 = 0
+              AND x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
+              AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
+        """,
+        "store_compacted": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
+              AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
+        """,
         "pip_count": f"""
             WITH {PTS_CTE},
             gp AS (SELECT pid, x, y, count(*) AS mult FROM pts GROUP BY pid, x, y),
@@ -1740,19 +1887,22 @@ def build_queries():
     full-oracle set after the r5 consolidation (zkey_encode+zkey_decode
     -> zkey_roundtrip, zkey3_decimal+zkey3_decode -> zkey3_roundtrip —
     each roundtrip proves both directions in one slot) and include the
-    IVF exhaustive oracles (rotated out in r4) and the new
-    distance_join_geo.  Position 51 is events_hourly — a full-oracle
-    entry whose §2.6 family is already proven by four in-window events_*
-    entries — followed by the rows-only engine-hash entries, each of
-    which has a green oracle twin in-window."""
+    IVF exhaustive oracles (rotated out in r4), distance_join_geo,
+    knn_geo, and the snapshot-store entries (time travel + compaction).
+    Positions 51+ are full-oracle entries whose families are already
+    proven in-window (events_hourly by four events_* entries; the two
+    tidonly variants share their row sets AND oracles with
+    bbox_rows/bbox_rows_3d — the driver hash is order-insensitive, so
+    in-window they prove nothing bbox_rows doesn't; raster_assign_pruned
+    by raster_assign + four pruned-store entries), followed by the
+    rows-only engine-hash entries, each with a green oracle twin
+    in-window."""
     return {
         "bbox_count": q_bbox_count,
         "bbox_count_dist": q_bbox_count_dist,
         "bbox_rows": q_bbox_rows,
         "bbox_rows_pruned": q_bbox_rows_pruned,
-        "bbox_rows_tidonly": q_bbox_rows_tidonly,
         "bbox_rows_3d": q_bbox_rows_3d,
-        "bbox_rows_3d_tidonly": q_bbox_rows_3d_tidonly,
         "bbox_rows_3d_full": q_bbox_rows_3d_full,
         "zkey3_roundtrip": q_zkey3_roundtrip,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
@@ -1767,10 +1917,12 @@ def build_queries():
         "knn_batch": q_knn_batch,
         "distance_join": q_distance_join,
         "distance_join_geo": q_distance_join_geo,
+        "knn_geo": q_knn_geo,
+        "store_time_travel": q_store_time_travel,
+        "store_compacted": q_store_compacted,
         "pip_count": q_pip_count,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
-        "raster_assign_pruned": q_raster_assign_pruned,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
@@ -1798,6 +1950,9 @@ def build_queries():
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
         "events_hourly": q_events_hourly,
+        "bbox_rows_tidonly": q_bbox_rows_tidonly,
+        "bbox_rows_3d_tidonly": q_bbox_rows_3d_tidonly,
+        "raster_assign_pruned": q_raster_assign_pruned,
         # rows-only (non-SQL-expressible or engine-specific hashes)
         "hilbert_encode": q_hilbert_encode,
         "minhash_pairs": q_minhash_pairs,

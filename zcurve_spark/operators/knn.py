@@ -296,3 +296,106 @@ def knn_batch(
         )
     out = reduce(DataFrame.unionByName, done_parts)
     return out
+
+
+def knn_geo_batch(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "pid",
+    qid_col: str = "qid",
+    n_points_hint: int = 1_000_000,
+    sphere_radius_m: float = 6371000.0,
+    r0_m: float | None = None,
+    checkpointer=None,
+) -> DataFrame:
+    """GEODETIC set-oriented kNN: k nearest points by haversine distance
+    for every query row — the lon/lat twin of :func:`knn_batch` (r4
+    VERDICT #5 follow-through: planar kNN is exact in tile space, but a
+    user with real lon/lat wants great-circle neighbors).
+
+    Each round calls :func:`..operators.distance.distance_join_geo`
+    (lat-banded tiles, latitude-aware lon width, antimeridian wrap) at
+    radius r as the candidate generator.  That join returns EXACTLY the
+    pairs within haversine distance r, so a query with >= k candidates
+    has its true top-k inside the candidate set (the k-th nearest is
+    <= r, and every point <= r is a candidate) — the coverage test is a
+    plain per-qid count, no dmax check needed.  Pending queries retry at
+    4x the radius; the final cap pi*R keys the whole sphere into one
+    band (hav threshold 1.0) where the candidate set is ALL points, so
+    termination is unconditional — with fewer than k points total, a
+    query returns every point ranked (standard top-k semantics, same as
+    the SQL oracle's row_number filter).
+
+    Driver work is one count() per round (O(rounds), never O(queries));
+    every other step is equi-joins + a window top-k.  Output
+    (qid, rank, pid) with rank ordered by (hav, pid) — hav itself is
+    engine-float and deliberately not emitted (the ids are
+    engine-portable; callers wanting meters recompute the haversine on
+    the id pairs).
+
+    ``checkpointer``: as in :func:`knn_batch` — localCheckpoint by
+    default, pass a reliable checkpoint for cluster runs.
+    """
+    from functools import reduce
+
+    from .distance import distance_join_geo
+
+    R = float(sphere_radius_m)
+    r_cap = math.pi * R  # whole sphere: every pair is within this
+    if r0_m is None:
+        # expect ~4k candidates at the first radius under a uniform
+        # density guess: area fraction r^2/(4R^2) of n_points_hint
+        r0_m = 2.0 * R * math.sqrt(4.0 * k / max(n_points_hint, 1))
+    r = min(max(float(r0_m), 1.0), r_cap)
+    ckpt = checkpointer or (lambda df: df.localCheckpoint())
+
+    pending = ckpt(
+        queries.select(
+            F.col(qid_col).alias("pid"),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+        )
+    )
+    pts = points.select(
+        F.col(id_col).alias("pid"), F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat")
+    )
+    n_pending = pending.count()
+    done_parts: list[DataFrame] = []
+    while n_pending:
+        cand = distance_join_geo(
+            pending, pts, r, sphere_radius_m=R
+        ).withColumnRenamed("a_id", "qid")
+        w = Window.partitionBy("qid").orderBy(F.col("hav").asc(), F.col("b_id").asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", F.col("b_id").alias("out_pid"))
+        )
+        topk = ckpt(topk)  # <= k rows/query; feeds coverage AND output
+        if r >= r_cap:
+            covered = pending.select(F.col("pid").alias("qid"))
+        else:
+            covered = (
+                topk.groupBy("qid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= k)
+                .select("qid")
+            )
+        done_parts.append(
+            ckpt(
+                topk.join(covered, "qid", "leftsemi")
+                .select("qid", "rank", F.col("out_pid").alias("pid"))
+            )
+        )
+        pending = ckpt(
+            pending.join(
+                covered.select(F.col("qid").alias("pid")), "pid", "leftanti"
+            )
+        )
+        n_pending = pending.count()
+        r = min(r * 4.0, r_cap)
+    return reduce(DataFrame.unionByName, done_parts)
