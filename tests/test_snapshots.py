@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from zcurve_spark.functions.columns import zkey2_col
 from zcurve_spark.sources.manifest import MANIFEST_NAME, load_manifest
-from zcurve_spark.sources.snapshots import SnapshotStore
+from zcurve_spark.sources.snapshots import SnapshotStore, foreach_batch_committer
 
 
 def _pts(spark, lo, hi):
@@ -173,6 +173,148 @@ class TestExpire:
         self._history(spark, store)
         with pytest.raises(ValueError):
             store.expire(keep_last=0)
+
+
+class TestIncrementalRead:
+    def test_added_rows_between_appends(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        store.commit(_pts(spark, 150, 180), created_unix=30, n_partitions=2)
+        inc = store.read_incremental(1)  # v1 -> current (v3)
+        assert {r["pid"] for r in inc.collect()} == set(range(100, 180))
+        inc12 = store.read_incremental(1, 2)
+        assert {r["pid"] for r in inc12.collect()} == set(range(100, 150))
+
+    def test_same_snapshot_is_empty(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        assert store.read_incremental(1, 1).count() == 0
+
+    def test_rewrite_in_range_raises(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        store.compact(created_unix=30)
+        with pytest.raises(ValueError, match="non-append"):
+            store.read_incremental(1)
+
+    def test_not_ancestor_raises(self, spark, store):
+        store.commit(_pts(spark, 0, 10), created_unix=10, n_partitions=1)
+        with pytest.raises(LookupError, match="ancestor"):
+            store.read_incremental(7)
+
+
+class TestMerge:
+    def _keyed_store(self, spark, store, n=1000, files=4):
+        """pid-sorted layout (zkey_col='pid'): the primary-key-sorted
+        table shape where CoW merge pruning is tight."""
+        df = _pts(spark, 0, n).drop("zkey")
+        store.commit(df, zkey_col="pid", created_unix=10, n_partitions=files)
+        return store
+
+    def test_upsert_semantics(self, spark, store):
+        self._keyed_store(spark, store)
+        delta = spark.createDataFrame(
+            [(5, 9999, 9999), (1500, 1, 2)], "pid long, x long, y long"
+        )
+        m = store.merge(delta, created_unix=20)
+        got = {r["pid"]: (r["x"], r["y"]) for r in store.read().collect()}
+        assert got[5] == (9999, 9999)  # updated
+        assert got[1500] == (1, 2)  # inserted
+        assert len(got) == 1001
+        assert m["operation"] == "overwrite"
+        # the parent still reads pre-merge rows (time travel across merge)
+        old = {r["pid"]: (r["x"], r["y"]) for r in store.read(1).collect()}
+        assert old[5] == (5 * 37 % 1024, 5 * 91 % 1024) and 1500 not in old
+
+    def test_prunes_untouched_files(self, spark, store):
+        self._keyed_store(spark, store, n=1000, files=4)
+        # delta keys land in ONE file's pid range
+        delta = spark.createDataFrame([(3, 0, 0), (7, 1, 1)], "pid long, x long, y long")
+        m = store.merge(delta, created_unix=20)
+        assert m["summary"]["rewritten_files"] == 1
+        assert m["summary"]["untouched_files"] == 3
+        assert store.read().count() == 1000
+
+    def test_insert_beyond_all_ranges_rewrites_nothing(self, spark, store):
+        self._keyed_store(spark, store, n=100, files=2)
+        delta = spark.createDataFrame([(10_000, 3, 4)], "pid long, x long, y long")
+        m = store.merge(delta, created_unix=20)
+        assert m["summary"]["rewritten_files"] == 0
+        assert m["summary"]["untouched_files"] == 2
+        assert store.read().count() == 101
+
+    def test_non_sort_key_merges_correctly_rewriting_all(self, spark, store):
+        # zkey-sorted store, merge keyed on pid: no pid stats -> every
+        # file is a rewrite candidate, semantics still exact
+        store.commit(_pts(spark, 0, 200), created_unix=10, n_partitions=3)
+        delta = _pts(spark, 5, 6).withColumn("x", F.lit(777)).withColumn(
+            "zkey", zkey2_col("x", "y")
+        )
+        m = store.merge(delta, key_col="pid", created_unix=20)
+        assert m["summary"]["rewritten_files"] == 3
+        got = {r["pid"]: r["x"] for r in store.read().collect()}
+        assert got[5] == 777 and len(got) == 200
+
+    def test_duplicate_target_keys_all_replaced(self, spark, store):
+        # non-unique keys: upsert deletes ALL rows with the key, inserts
+        # the delta row(s) — row count can shrink
+        df = _pts(spark, 0, 50).drop("zkey")
+        dup = df.filter(F.col("pid") == 9)
+        store.commit(df.unionByName(dup), zkey_col="pid", created_unix=10, n_partitions=2)
+        assert store.read().filter(F.col("pid") == 9).count() == 2
+        delta = spark.createDataFrame([(9, 1, 1)], "pid long, x long, y long")
+        store.merge(delta, created_unix=20)
+        assert store.read().filter(F.col("pid") == 9).count() == 1
+        assert store.read().count() == 50
+
+
+class TestStreamingIngest:
+    def test_exactly_once_commits_and_resume(self, spark, store, tmp_path):
+        import time
+
+        src = str(tmp_path / "src")
+        ck = str(tmp_path / "ck")
+        _pts(spark, 0, 40).coalesce(1).write.mode("overwrite").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        _pts(spark, 40, 70).coalesce(1).write.mode("append").parquet(src)
+        schema = "pid long, x long, y long, zkey long"
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    foreach_batch_committer(store, n_partitions=1)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert store.read().count() == 70
+        ids_after_first = store.snapshot_ids()
+        assert len(ids_after_first) == 2  # one commit per micro-batch
+        assert store.current()["lineage"]["last_batch_id"] == 1
+        # every micro-batch is incrementally readable
+        inc = store.read_incremental(ids_after_first[0])
+        assert {r["pid"] for r in inc.collect()} == set(range(40, 70))
+        # resume: a third file arrives, same checkpoint -> ONE new commit
+        _pts(spark, 70, 90).coalesce(1).write.mode("append").parquet(src)
+        run()
+        assert store.read().count() == 90
+        assert store.current()["lineage"]["last_batch_id"] == 2
+
+    def test_replayed_batch_is_skipped(self, spark, store):
+        fn = foreach_batch_committer(store, n_partitions=1)
+        fn(_pts(spark, 0, 10), 0)
+        fn(_pts(spark, 10, 30), 1)
+        n_snaps = len(store.snapshot_ids())
+        fn(_pts(spark, 10, 30), 1)  # replay after simulated failure
+        fn(_pts(spark, 0, 10), 0)  # stale replay
+        assert len(store.snapshot_ids()) == n_snaps
+        assert store.read().count() == 30
 
 
 class TestCrashContract:

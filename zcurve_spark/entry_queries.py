@@ -637,6 +637,161 @@ def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pid", "x", "y")
 
 
+def q_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read (sources/snapshots.py read_incremental): the
+    rows ADDED between snapshot v1 and v2 of the demo store are exactly
+    the odd-pid append — the Iceberg incremental-scan analog that lets a
+    daily consumer process deltas instead of re-scanning the table.
+    Pinned to (1, 2): v3 is a replace, and crossing it raises by
+    contract (pytest-covered)."""
+    st = _snapshot_demo_store(spark, sf_dir)
+    b = BBOX_SINGLE
+    return st.read_incremental(1, 2).filter(
+        F.col("x").between(b["mins"][0], b["maxs"][0])
+        & F.col("y").between(b["mins"][1], b["maxs"][1])
+    ).select("pid", "x", "y")
+
+
+# copy-on-write merge demo: updates shift every pid%100==7 point by a
+# fixed modular offset (one delta row per DISTINCT pid — pid is not
+# unique in the synthetic table, and upsert-by-key replaces ALL rows of
+# a matched key); inserts land mostly inside BBOX_SINGLE so the filtered
+# result proves they arrived
+MERGE_UPD_MOD = 100
+MERGE_UPD_REM = 7
+MERGE_INSERTS = [
+    (2_000_000_001, 200_000, 500_000),
+    (2_000_000_002, 360_000, 430_000),
+    (2_000_000_003, 10_000, 20_000),  # outside the bbox on purpose
+    (2_000_000_004, 389_999, 599_999),
+]
+_MERGE_INSERT_VALUES = ", ".join(f"({p}, {x}, {y})" for p, x, y in MERGE_INSERTS)
+
+
+def _merge_demo_store(spark: SparkSession, sf_dir: str):
+    """Build (once per input fingerprint) the merge demo: v1 = the full
+    points table sorted by pid (the primary-key layout upserts want),
+    v2 = copy-on-write merge of grouped updates + new-key inserts."""
+    import os
+    import shutil
+
+    from .sources.snapshots import SnapshotStore
+    from .sources.store import _input_fingerprint, work_root
+
+    fp = _input_fingerprint(sf_dir, "lineitem", bits=BITS, demo="merge-v1")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(work_root(), tag, "merge_demo")
+    st = SnapshotStore(spark, path)
+    cur = st.current()
+    if (
+        cur is None
+        or cur.get("lineage", {}).get("fingerprint") != fp
+        or cur.get("snapshot_id") != 2
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        st = SnapshotStore(spark, path)
+        base = points_from_lineitem(spark, sf_dir).select("pid", "x", "y")
+        st.commit(
+            base,
+            zkey_col="pid",
+            n_partitions=16,
+            stat_cols=(),
+            lineage={"fingerprint": fp},
+            created_unix=1_000,
+        )
+        upd = (
+            base.filter(F.col("pid") % MERGE_UPD_MOD == MERGE_UPD_REM)
+            .groupBy("pid")
+            .agg(
+                ((F.min("x") + 500_000) % 1_000_000).alias("x"),
+                ((F.min("y") + 250_000) % 1_000_000).alias("y"),
+            )
+        )
+        ins = spark.createDataFrame(MERGE_INSERTS, "pid long, x long, y long")
+        st.merge(upd.unionByName(ins), created_unix=2_000)
+    return st
+
+
+def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO (sources/snapshots.py merge): after a
+    keyed upsert (grouped updates on pid%100==7 + four inserts), the
+    current snapshot holds exactly merge semantics — matched keys fully
+    replaced, new keys inserted, everything else untouched.  Only files
+    whose pid range can contain a delta key were rewritten (the manifest
+    range join); the pruning itself is pytest-asserted."""
+    st = _merge_demo_store(spark, sf_dir)
+    b = BBOX_SINGLE
+    return st.read().filter(
+        F.col("x").between(b["mins"][0], b["maxs"][0])
+        & F.col("y").between(b["mins"][1], b["maxs"][1])
+    ).select("pid", "x", "y")
+
+
+def q_streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion INTO the snapshot store
+    (sources/snapshots.py foreach_batch_committer): each micro-batch
+    becomes an atomic append snapshot with its batch id in lineage, so
+    replays are skipped and the final table is exactly the input rows —
+    commits are append-only, so the oracle is arrival-order-independent.
+    Replay-idempotence and checkpoint resume are pytest-covered
+    (tests/test_snapshots.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotStore, foreach_batch_committer
+    from .sources.store import _input_fingerprint, work_root
+
+    fp = _input_fingerprint(sf_dir, "lineitem", bits=BITS, demo="snap-ingest-v1")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl = os.path.join(work_root(), tag, "snap_ingest")
+    st = SnapshotStore(spark, tbl)
+    cur = st.current()
+    b = BBOX_SINGLE
+    if (
+        cur is None
+        or cur.get("lineage", {}).get("fingerprint") != fp
+        or cur.get("lineage", {}).get("last_batch_id") != 1
+    ):
+        shutil.rmtree(tbl, ignore_errors=True)
+        st = SnapshotStore(spark, tbl)
+        d = tempfile.mkdtemp(prefix="zsnap_ingest_")
+        try:
+            src = os.path.join(d, "src")
+            pts = points_from_lineitem(spark, sf_dir).filter(
+                F.col("pid") % 10 == 0
+            ).select("pid", "x", "y", "zkey")
+            pts.filter(F.col("pid") % 20 == 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            pts.filter(F.col("pid") % 20 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            schema = spark.read.parquet(src).schema
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    foreach_batch_committer(
+                        st, n_partitions=4, lineage={"fingerprint": fp}
+                    )
+                )
+                .option("checkpointLocation", os.path.join(d, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("snapshot ingest did not finish within 300s")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return st.read().filter(
+        F.col("x").between(b["mins"][0], b["maxs"][0])
+        & F.col("y").between(b["mins"][1], b["maxs"][1])
+    ).select("pid", "x", "y")
+
+
 def q_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction correctness: the current snapshot (v3 = replace-all
     rewrite of v1+v2) holds the COMPLETE row set — append + compact
@@ -1462,6 +1617,37 @@ def _oracle_sql() -> dict[str, str]:
             WHERE x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
               AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
         """,
+        "store_incremental": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE pid % 2 = 1
+              AND x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
+              AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
+        """,
+        "store_merge": f"""
+            WITH {PTS_CTE},
+            u AS (
+              SELECT pid,
+                     (MIN(x) + 500000) % 1000000 AS x,
+                     (MIN(y) + 250000) % 1000000 AS y
+              FROM pts WHERE pid % {MERGE_UPD_MOD} = {MERGE_UPD_REM} GROUP BY pid
+            ),
+            m AS (
+              SELECT pid, x, y FROM pts WHERE pid % {MERGE_UPD_MOD} <> {MERGE_UPD_REM}
+              UNION ALL SELECT pid, x, y FROM u
+              UNION ALL SELECT pid, x, y FROM (VALUES {_MERGE_INSERT_VALUES}) v(pid, x, y)
+            )
+            SELECT pid, x, y FROM m
+            WHERE x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
+              AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
+        """,
+        "streaming_snapshot_ingest": f"""
+            WITH {PTS_CTE}
+            SELECT pid, x, y FROM pts
+            WHERE pid % 10 = 0
+              AND x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
+              AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
+        """,
         "pip_count": f"""
             WITH {PTS_CTE},
             gp AS (SELECT pid, x, y, count(*) AS mult FROM pts GROUP BY pid, x, y),
@@ -1888,15 +2074,20 @@ def build_queries():
     -> zkey_roundtrip, zkey3_decimal+zkey3_decode -> zkey3_roundtrip —
     each roundtrip proves both directions in one slot) and include the
     IVF exhaustive oracles (rotated out in r4), distance_join_geo,
-    knn_geo, and the snapshot-store entries (time travel + compaction).
+    knn_geo, and the snapshot-store write-side family (time travel,
+    compaction, incremental read, CoW merge, exactly-once streaming
+    ingest).
     Positions 51+ are full-oracle entries whose families are already
-    proven in-window (events_hourly by four events_* entries; the two
-    tidonly variants share their row sets AND oracles with
-    bbox_rows/bbox_rows_3d — the driver hash is order-insensitive, so
-    in-window they prove nothing bbox_rows doesn't; raster_assign_pruned
-    by raster_assign + four pruned-store entries), followed by the
-    rows-only engine-hash entries, each with a green oracle twin
-    in-window."""
+    proven in-window by an equal-or-stronger sibling: events_hourly and
+    events_asof_tolerance by the three in-window events_* entries;
+    tile_counts_salted by tile_counts (same agg — salting-identity is
+    pytest-asserted); pip_count by pip_count_concave (the general
+    ray-cast subsumes the convex case); the two tidonly variants share
+    their row sets AND oracles with bbox_rows/bbox_rows_3d — the driver
+    hash is order-insensitive, so in-window they prove nothing
+    bbox_rows doesn't; raster_assign_pruned by raster_assign + four
+    pruned-store entries.  Then the rows-only engine-hash entries, each
+    with a green oracle twin in-window."""
     return {
         "bbox_count": q_bbox_count,
         "bbox_count_dist": q_bbox_count_dist,
@@ -1912,7 +2103,6 @@ def build_queries():
         "bbox_rows_coordstats": q_bbox_rows_coordstats,
         "zkey_roundtrip": q_zkey_roundtrip,
         "tile_counts": q_tile_counts,
-        "tile_counts_salted": q_tile_counts_salted,
         "knn": q_knn,
         "knn_batch": q_knn_batch,
         "distance_join": q_distance_join,
@@ -1920,7 +2110,9 @@ def build_queries():
         "knn_geo": q_knn_geo,
         "store_time_travel": q_store_time_travel,
         "store_compacted": q_store_compacted,
-        "pip_count": q_pip_count,
+        "store_incremental": q_store_incremental,
+        "store_merge": q_store_merge,
+        "streaming_snapshot_ingest": q_streaming_snapshot_ingest,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
         "dedup_exact": q_dedup_exact,
@@ -1937,7 +2129,6 @@ def build_queries():
         "hilbert_roundtrip": q_hilbert_roundtrip,
         "hilbert3_roundtrip": q_hilbert3_roundtrip,
         "events_asof": q_events_asof,
-        "events_asof_tolerance": q_events_asof_tolerance,
         "events_interval_join": q_events_interval_join,
         "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
@@ -1950,6 +2141,9 @@ def build_queries():
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
         "events_hourly": q_events_hourly,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "tile_counts_salted": q_tile_counts_salted,
+        "pip_count": q_pip_count,
         "bbox_rows_tidonly": q_bbox_rows_tidonly,
         "bbox_rows_3d_tidonly": q_bbox_rows_3d_tidonly,
         "raster_assign_pruned": q_raster_assign_pruned,

@@ -147,13 +147,18 @@ class SnapshotStore:
         stat_cols: tuple = ("x", "y"),
         lineage: dict | None = None,
         created_unix: int | None = None,
+        carry_files: list | None = None,
+        extra_summary: dict | None = None,
     ) -> dict:
         """Atomically commit `df` as a new snapshot.
 
         ``operation='append'`` carries the parent's files forward and
         adds the new ones; ``'overwrite'`` / ``'replace'`` reference only
         the new files (the parent snapshot remains readable until
-        expired).  Data is zkey-range-partitioned and sorted within
+        expired).  ``carry_files`` (used by :meth:`merge`) carries an
+        explicit subset of the parent's file entries alongside the new
+        files — the copy-on-write form where untouched files survive a
+        keyed rewrite.  Data is zkey-range-partitioned and sorted within
         partitions — each commit's delta is itself a sorted mini-layout
         with full footer stats, so pruned readers work on appended
         tables too (append-heavy tables re-tighten global clustering via
@@ -189,7 +194,10 @@ class SnapshotStore:
             if name.endswith(".parquet"):
                 fs = _footer_stats(os.path.join(out_dir, name), zkey_col, stat_cols)
                 new_files.append({"file": f"{data_rel}/{name}", **fs})
-        carried = list(cur["files"]) if (operation == "append" and cur) else []
+        if carry_files is not None:
+            carried = list(carry_files)
+        else:
+            carried = list(cur["files"]) if (operation == "append" and cur) else []
         files = carried + new_files
         if created_unix is None:
             import time
@@ -216,6 +224,7 @@ class SnapshotStore:
                 "added_files": len(new_files),
                 "added_rows": sum(f["rows"] for f in new_files),
                 "carried_files": len(carried),
+                **(extra_summary or {}),
             },
         }
         # immutable snapshot manifest first, pointer swing last: a crash
@@ -249,6 +258,123 @@ class SnapshotStore:
         if not names:
             return self.read(snapshot_id).limit(0)
         return self.spark.read.parquet(*[os.path.join(self.path, n) for n in names])
+
+    def read_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive of `from`,
+        inclusive of `to`, default current) — the Iceberg incremental-
+        scan analog that lets a downstream consumer process only each
+        day's appends instead of re-reading a 10^12-row table.
+
+        Only valid across pure ``append`` commits: an ``overwrite`` /
+        ``replace`` / merge rewrite in the range re-adds OLD rows in new
+        files, so "added files" stops meaning "added rows" and this
+        raises (same contract as Iceberg's incremental read).  Metadata
+        cost is O(snapshots-in-range + files); the scan reads only the
+        added files."""
+        to_m = self.snapshot(to_snapshot_id)
+        chain, m = [], to_m
+        while m["snapshot_id"] != from_snapshot_id:
+            if m.get("parent_id") is None:
+                raise LookupError(
+                    f"v{from_snapshot_id} is not an ancestor of v{to_m['snapshot_id']}"
+                )
+            chain.append(m)
+            m = self.snapshot(m["parent_id"])
+        for s in chain:
+            if s["operation"] != "append":
+                raise ValueError(
+                    f"non-append snapshot v{s['snapshot_id']} "
+                    f"({s['operation']!r}) in incremental range"
+                )
+        base = {f["file"] for f in m["files"]}
+        added = [f["file"] for f in to_m["files"] if f["file"] not in base]
+        if not added:
+            return self.read(to_m["snapshot_id"]).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, n) for n in added]
+        )
+
+    # -- keyed mutation ----------------------------------------------------
+    def merge(
+        self,
+        delta: DataFrame,
+        *,
+        key_col: str | None = None,
+        n_partitions: int | None = None,
+        created_unix: int | None = None,
+    ) -> dict:
+        """Copy-on-write upsert (the MERGE INTO analog): every target row
+        whose `key_col` appears in `delta` is replaced by the delta
+        row(s) for that key; delta keys absent from the table are
+        inserts.  Only files that can contain a delta key are rewritten;
+        all other files are carried forward untouched in the new
+        snapshot (operation='overwrite', parent still readable).
+
+        Touched-file detection is DISTRIBUTED: the manifest's per-file
+        [key_min, key_max] ranges (O(files), tiny) are broadcast and
+        range-joined against the delta keys, so the driver never sees a
+        key set — only the touched file-name list.  With ``key_col`` ==
+        the table's sort column (the primary-key-sorted layout every
+        upsert-heavy table uses) the ranges are disjoint and pruning is
+        tight; any other key still merges correctly but rewrites every
+        file (no stats), mirroring Iceberg's stats-dependent CoW.
+
+        The reference mutates B-tree pages in place under WAL
+        (sp_tree.c); this is the immutable-parquet translation of that
+        update path: rewrite the touched "pages" (files), swing the
+        root pointer atomically.
+        """
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        zc = cur["zkey_col"]
+        key = key_col or zc
+        files = cur["files"]
+        ranges = [
+            (f["file"], f.get("zkey_min"), f.get("zkey_max")) for f in files
+        ]
+        ranged = [(n, lo, hi) for n, lo, hi in ranges if lo is not None and hi is not None]
+        if key == zc and ranged:
+            blind = [n for n, lo, hi in ranges if lo is None or hi is None]
+            rdf = self.spark.createDataFrame(ranged, ["_file", "_kmin", "_kmax"])
+            touched_rows = (
+                delta.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(rdf),
+                    (F.col("_k") >= F.col("_kmin")) & (F.col("_k") <= F.col("_kmax")),
+                )
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = sorted({r["_file"] for r in touched_rows} | set(blind))
+        else:
+            touched = [f["file"] for f in files]  # no per-file stats: rewrite all
+        touched_set = set(touched)
+        carried = [f for f in files if f["file"] not in touched_set]
+        if touched:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.path, n) for n in touched]
+            ).join(delta.select(key).distinct(), key, "left_anti")
+            new_data = survivors.unionByName(delta.select(*survivors.columns))
+        else:
+            new_data = delta
+        return self.commit(
+            new_data,
+            operation="overwrite",
+            zkey_col=zc,
+            n_partitions=n_partitions or cur.get("n_partitions", 32),
+            lineage={"merged_into": cur.get("snapshot_id"), **cur.get("lineage", {})},
+            created_unix=created_unix,
+            carry_files=carried,
+            extra_summary={
+                "rewritten_files": len(touched),
+                "untouched_files": len(carried),
+                "merge_key": key,
+            },
+        )
 
     # -- maintenance ------------------------------------------------------
     def compact(
@@ -318,3 +444,44 @@ class SnapshotStore:
         for sid in drop:
             os.remove(self._snap_manifest_path(sid))
         return report
+
+
+def foreach_batch_committer(
+    store: SnapshotStore,
+    *,
+    zkey_col: str = "zkey",
+    n_partitions: int = 8,
+    stat_cols: tuple = ("x", "y"),
+    lineage: dict | None = None,
+):
+    """Exactly-once streaming ingestion into a :class:`SnapshotStore`:
+    a ``foreachBatch`` function that commits each micro-batch as an
+    append snapshot, recording the batch id in the snapshot lineage.
+
+    Structured Streaming replays the in-flight batch (same ``batch_id``)
+    after a failure/restart; because our commit is atomic (pointer swing
+    last) the store either already holds that batch id — the replay is
+    skipped — or doesn't — the replay commits it once.  Batch ids are
+    monotonically increasing per checkpoint, so the ``<=`` guard makes
+    the sink idempotent end-to-end: checkpointed source offsets +
+    idempotent sink = exactly-once, the same argument as
+    streaming/sinks.py but with the manifest pointer (not a marker
+    file) as the commit record — and every micro-batch is immediately
+    time-travelable and incrementally readable
+    (:meth:`SnapshotStore.read_incremental`).
+    """
+
+    def _commit_batch(df: DataFrame, batch_id: int) -> None:
+        cur = store.current()
+        last = (cur or {}).get("lineage", {}).get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed atomically
+        store.commit(
+            df,
+            zkey_col=zkey_col,
+            n_partitions=n_partitions,
+            stat_cols=stat_cols,
+            lineage={**(lineage or {}), "last_batch_id": batch_id},
+        )
+
+    return _commit_batch
