@@ -335,7 +335,8 @@ def minhash_lsh_pairs(
         # duplicate buckets -> member ids, all from the linear band
         # relation (the sig_rel shuffle under bands/a/b/dup_buckets is
         # one identical exchange — ReuseExchange computes it once per
-        # query, verified in the r5 scaling profile)
+        # query: the executed adaptive plan on sf0.01 shows 3
+        # ReusedExchange nodes collapsing the duplicate band sub-plans)
         dup_buckets = (
             bands.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("m"))

@@ -34,6 +34,64 @@ def tile_counts(df: DataFrame, level: int, zkey_col: str = "zkey", bits: int = 3
     )
 
 
+def tile_pyramid(
+    df: DataFrame,
+    levels=(4, 6, 8),
+    zkey_col: str = "zkey",
+    bits: int = 30,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile statistics with ONE pass over the raw rows.
+
+    The finest level aggregates the raw relation (the only full-table
+    shuffle); every coarser level rolls up from the next-finer level's
+    rows by prefix arithmetic (``parent = child >> 2*dL`` — a level-L
+    tile id is the top 2L bits of the key, so the level-(L-dL) id is a
+    further right shift of the SAME prefix).  At most ``4^L_finer`` rows
+    enter each rollup regardless of table size: with 10^12 input rows
+    and levels (4, 8, 12) the naive per-level plan shuffles the raw
+    table three times, while this plan shuffles it once plus two
+    rollups over <=16.7M pre-aggregated rows.  count/sum/min/max are
+    decomposable, so the rolled-up values are exactly the direct
+    aggregates (the hypertable/continuous-aggregate identity), and the
+    finest level's exchange is shared across the union branches via
+    ReuseExchange (pytest-asserted) — not recomputed per level.
+
+    Output: (level, tile_id, n[, sum_v, min_v, max_v]).
+    """
+    lvls = sorted(set(int(l) for l in levels), reverse=True)  # finest first
+    if not lvls:
+        raise ValueError("levels must be non-empty")
+    finest = lvls[0]
+    base = df.withColumn("tile_id", tile_id_col(zkey_col, finest, bits=bits))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    roll = [F.sum("n").alias("n")]
+    if value_col is not None:
+        aggs += [
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        ]
+        roll += [
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        ]
+    cur = base.groupBy("tile_id").agg(*aggs)
+    out = cur.select(F.lit(finest).alias("level"), "*")
+    prev_level = finest
+    for lv in lvls[1:]:
+        shift = 2 * (prev_level - lv)
+        cur = (
+            cur.withColumn("tile_id", F.shiftright("tile_id", shift))
+            .groupBy("tile_id")
+            .agg(*roll)
+        )
+        out = out.unionByName(cur.select(F.lit(lv).alias("level"), "*"))
+        prev_level = lv
+    return out
+
+
 def raster_assign(
     points: DataFrame,
     raster: DataFrame,
@@ -85,6 +143,84 @@ def raster_assign_pruned(
         [(int(c), int(l)) for c, l in cells], "cell_id long, level int"
     )
     return raster_assign(pts, raster, zkey_col=zkey_col, bits=bits)
+
+
+def tile_counts_incremental(
+    spark,
+    store,
+    state_dir: str,
+    *,
+    level: int,
+    bits: int = 30,
+    zkey_col: str = "zkey",
+) -> DataFrame:
+    """Incrementally-maintained per-tile counts over a SnapshotStore —
+    the continuous-aggregate / materialized-view pattern.
+
+    The state directory holds the (tile_id, n) relation as parquet plus
+    a ``state.json`` recording which snapshot it reflects.  Per call:
+
+    - state current  -> read the state, ZERO table scan;
+    - appends since  -> aggregate ONLY the added files
+      (:meth:`SnapshotStore.read_incremental`), then merge partials
+      into the state (counts are decomposable: old + delta), a job
+      whose input is O(delta rows + 4^level tiles), not table rows;
+    - non-append in range (merge/compact rewrite) or no state yet ->
+      full recompute at the current snapshot (the same fallback contract
+      as Iceberg incremental scans).
+
+    At 10^12 rows with daily appends this turns the canonical
+    tile-statistics query from a daily full-table shuffle into a
+    delta-sized one.  State swings atomically (parquet written to a
+    per-snapshot dir, then ``os.replace`` of state.json), so a crashed
+    refresh leaves the previous state readable and the orphan dir is
+    overwritten by the next successful refresh of that snapshot.
+    """
+    import json
+    import os
+
+    from ..sources.snapshots import _atomic_json
+
+    cur = store.snapshot()
+    sid = cur["snapshot_id"]
+    state_json = os.path.join(state_dir, "state.json")
+    st = None
+    if os.path.exists(state_json):
+        with open(state_json) as fh:
+            st = json.load(fh)
+        if st.get("level") != level:
+            st = None  # state for a different pyramid level: rebuild
+    if st is not None and st["snapshot_id"] == sid:
+        return spark.read.parquet(os.path.join(state_dir, st["data"]))
+
+    fresh = None
+    if st is not None:
+        try:
+            delta = store.read_incremental(st["snapshot_id"], sid)
+            old = spark.read.parquet(os.path.join(state_dir, st["data"]))
+            fresh = (
+                tile_counts(delta, level, zkey_col=zkey_col, bits=bits)
+                .unionByName(old)
+                .groupBy("tile_id")
+                .agg(F.sum("n").alias("n"))
+            )
+        except (ValueError, LookupError):
+            fresh = None  # rewrite in range -> fall back to full recompute
+    if fresh is None:
+        fresh = tile_counts(store.read(sid), level, zkey_col=zkey_col, bits=bits)
+
+    data_rel = f"counts-s{sid}"
+    out_dir = os.path.join(state_dir, data_rel)
+    fresh.write.mode("overwrite").parquet(out_dir)
+    _atomic_json(
+        state_json,
+        {"snapshot_id": sid, "level": level, "bits": bits, "data": data_rel},
+    )
+    if st is not None and st["data"] != data_rel:
+        import shutil
+
+        shutil.rmtree(os.path.join(state_dir, st["data"]), ignore_errors=True)
+    return spark.read.parquet(out_dir)
 
 
 def salt_hot_tiles(
