@@ -53,7 +53,7 @@ from zcurve_spark.operators.dedup import minhash_lsh_pairs
 from zcurve_spark.operators.knn import knn
 from zcurve_spark.operators.pip import pip_join
 from zcurve_spark.operators.similarity import ann_topk
-from zcurve_spark.operators.tiles import assign_tiles
+from zcurve_spark.operators.tiles import assign_tiles, tile_pyramid
 from zcurve_spark.plans.decompose import decompose_box
 from zcurve_spark.session import get_spark
 from zcurve_spark.sources.interleaved import explode_spans, interleaved_docs, with_span_geo
@@ -194,6 +194,27 @@ def main() -> None:
         )
 
     run("tile_assign_gen", tile_assign_gen)
+
+    # multi-resolution rollup over generated spans: levels (4, 8, 12)
+    # from ONE raw shuffle (finest agg reused across the union
+    # branches), vs three independent full-table aggs for the naive
+    # plan — the dedicated naive-vs-pyramid comparison is in
+    # BASELINE.md; this row tracks the pyramid's absolute throughput.
+    # n_gen/4 keeps the row ~2.5s/rep (level-12 partials don't combine
+    # much map-side, so the finest shuffle is a real table-sized one —
+    # the full-n_gen row measured 10.7s/rep, too heavy for the
+    # per-round window at warm+3 reps)
+    n_pyr = int(os.environ.get("SPARK_GRAFT_PYR_SPANS", n_gen // 4))
+
+    def tile_pyramid_gen():
+        df = spark.range(0, n_pyr, 1, 128)
+        qx = ((F.col("id") * 2654435761 + 12345) % (1 << 30)).alias("qx")
+        qy = ((F.col("id") * 1013904223 + 54321) % (1 << 30)).alias("qy")
+        t = df.select(qx, qy).withColumn("zkey", zkey2_col("qx", "qy"))
+        pyr = tile_pyramid(t, levels=(4, 8, 12), bits=30)
+        return pyr.agg(F.sum("n")).collect()[0][0]
+
+    run_extra("tile_pyramid_gen", tile_pyramid_gen)
 
     # --- the points side: materialized zkey-sorted store (the storage
     # layer IS the query path — VERDICT r1 #1); amplified runs derive
@@ -647,6 +668,8 @@ def main() -> None:
         out["knn_queries_per_sec"] = round(n_knn_batch / extras["knn_batch_2k"], 1)
     if "ivf_batch_10k" in extras and extras["ivf_batch_10k"] > 0:
         out["ivf_queries_per_sec"] = round(n_ivf_batch / extras["ivf_batch_10k"], 1)
+    if "tile_pyramid_gen" in extras and extras["tile_pyramid_gen"] > 0:
+        out["pyr_spans_per_sec"] = round(n_pyr / extras["tile_pyramid_gen"], 1)
     if "dedup_pipeline" in extras and extras["dedup_pipeline"] > 0:
         n_base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         n_chain_docs = n_base_docs * dedup_mult + (n_base_docs * dedup_mult) // 50

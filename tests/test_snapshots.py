@@ -341,3 +341,57 @@ class TestCrashContract:
             json.dump(orphan, fh)
         assert load_manifest(store.path)["snapshot_id"] == 1
         assert store.read().count() == 100
+
+
+class TestOrphanGC:
+    def _plant_orphan(self, store, sub="s99", name="part-crashed.parquet"):
+        # simulate a commit that crashed before publishing its manifest:
+        # a data dir exists that no snapshot references
+        src_rel = store.snapshot()["files"][0]["file"]
+        d = os.path.join(store.path, "data", sub)
+        os.makedirs(d, exist_ok=True)
+        import shutil
+
+        shutil.copy(os.path.join(store.path, src_rel), os.path.join(d, name))
+        return f"data/{sub}/{name}"
+
+    def test_removes_unreferenced_keeps_referenced(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=1)
+        store.commit(_pts(spark, 100, 200), created_unix=20, n_partitions=1)
+        orphan = self._plant_orphan(store)
+        rep = store.remove_orphans()
+        assert rep["removed_files"] == [orphan]
+        assert not os.path.exists(os.path.join(store.path, "data", "s99"))
+        # every retained snapshot still fully readable
+        assert store.read(1).count() == 100
+        assert store.read(2).count() == 200
+
+    def test_grace_keeps_inflight_commit_files(self, spark, store):
+        store.commit(_pts(spark, 0, 50), created_unix=10, n_partitions=1)
+        orphan = self._plant_orphan(store)
+        p = os.path.join(store.path, orphan)
+        os.utime(p, (1_000, 1_000))  # old file: removable
+        recent = self._plant_orphan(store, name="part-inflight.parquet")
+        rep = store.remove_orphans(grace_unix=2_000)
+        assert rep["removed_files"] == [orphan]
+        assert rep["kept_recent"] == [recent]
+        assert os.path.exists(os.path.join(store.path, recent))
+
+    def test_dry_run_touches_nothing(self, spark, store):
+        store.commit(_pts(spark, 0, 50), created_unix=10, n_partitions=1)
+        orphan = self._plant_orphan(store)
+        rep = store.remove_orphans(dry_run=True)
+        assert rep["removed_files"] == [orphan]
+        assert os.path.exists(os.path.join(store.path, orphan))
+
+    def test_after_expire_prunes_emptied_dirs(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=1)
+        store.commit(_pts(spark, 100, 200), created_unix=20, n_partitions=1)
+        store.compact(created_unix=30)
+        store.expire(keep_last=1)  # drops v1/v2; their parquet removed,
+        # but _SUCCESS markers and emptied per-commit dirs linger
+        assert store.remove_orphans()["removed_files"] == []
+        for sub in ("s1", "s2"):
+            assert not os.path.exists(os.path.join(store.path, "data", sub))
+        assert os.path.exists(os.path.join(store.path, "data", "s3"))
+        assert store.read().count() == 200

@@ -162,3 +162,61 @@ class TestTileCountsIncremental:
         tile_counts_incremental(spark, st, sd, level=4, bits=BITS)
         assert not os.path.exists(os.path.join(sd, "counts-s1"))
         assert os.path.exists(os.path.join(sd, "counts-s2"))
+
+
+class TestStreamingIngestToRollup:
+    def test_stream_commits_then_incremental_refresh(self, spark, tmp_path):
+        """The production chain end to end: files stream in ->
+        exactly-once snapshot commits (foreach_batch_committer) ->
+        tile_counts_incremental folds each new snapshot's delta into the
+        materialized rollup — at no point is the full table re-scanned
+        after the initial build."""
+        import time
+
+        from zcurve_spark.sources.snapshots import (
+            SnapshotStore,
+            foreach_batch_committer,
+        )
+
+        store = SnapshotStore(spark, str(tmp_path / "tbl"))
+        sd = str(tmp_path / "state")
+        src = str(tmp_path / "src")
+        ck = str(tmp_path / "ck")
+        _pts(spark, 0, 800).coalesce(1).write.mode("overwrite").parquet(src)
+        time.sleep(1.1)
+        _pts(spark, 800, 2000).coalesce(1).write.mode("append").parquet(src)
+        schema = "pid long, x long, y long, v long, zkey long"
+
+        def drain():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    foreach_batch_committer(store, n_partitions=1)
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()  # two micro-batches -> snapshots v1, v2
+        got = tile_counts_incremental(spark, store, sd, level=4, bits=BITS)
+        assert _rows(got) == _rows(tile_counts(_pts(spark, 0, 2000), 4, bits=BITS))
+        # late file arrives; resume commits ONE new snapshot, and the
+        # refresh folds exactly that delta into the existing state
+        _pts(spark, 2000, 2600).coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        full_reads = []
+        orig_read = store.read
+
+        def spy_read(*a, **k):
+            full_reads.append(a)
+            return orig_read(*a, **k)
+
+        store.read = spy_read
+        got = tile_counts_incremental(spark, store, sd, level=4, bits=BITS)
+        assert _rows(got) == _rows(tile_counts(_pts(spark, 0, 2600), 4, bits=BITS))
+        assert full_reads == []  # delta-only: no full-table scan

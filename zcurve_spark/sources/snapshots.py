@@ -445,6 +445,69 @@ class SnapshotStore:
             os.remove(self._snap_manifest_path(sid))
         return report
 
+    def remove_orphans(
+        self, *, grace_unix: int | None = None, dry_run: bool = False
+    ) -> dict:
+        """Delete data files referenced by NO retained snapshot manifest —
+        the Iceberg ``remove_orphan_files`` analog completing the
+        maintenance triad (compact / expire / orphan GC).
+
+        Orphans accumulate from (a) a commit that crashed after writing
+        its ``data/s{N}`` directory but before publishing the snapshot
+        manifest (the documented safe-crash window) and (b) an
+        :meth:`expire` interrupted mid-delete.  Neither is referenced by
+        any manifest, so no reader — current or time-traveling — can
+        lose data.
+
+        ``grace_unix``: files modified AT or after this timestamp are
+        kept (reported under ``kept_recent``) — the Iceberg grace-period
+        guard against deleting an IN-FLIGHT commit's data dir, which
+        legitimately exists before its manifest does.  Pass None only
+        when no concurrent writer can exist.  Directories left with no
+        parquet and no referenced files are pruned (commit writes also
+        leave _SUCCESS markers behind).
+        """
+        import shutil
+
+        referenced = set()
+        for sid in self.snapshot_ids():
+            referenced.update(f["file"] for f in self.snapshot(sid)["files"])
+        data_root = os.path.join(self.path, "data")
+        removed, kept_recent = [], []
+        if os.path.isdir(data_root):
+            for sub in sorted(os.listdir(data_root)):
+                d = os.path.join(data_root, sub)
+                if not os.path.isdir(d):
+                    continue
+                for name in sorted(os.listdir(d)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = f"data/{sub}/{name}"
+                    if rel in referenced:
+                        continue
+                    if grace_unix is not None and os.path.getmtime(
+                        os.path.join(d, name)
+                    ) >= grace_unix:
+                        kept_recent.append(rel)
+                        continue
+                    removed.append(rel)
+                    if not dry_run:
+                        os.remove(os.path.join(d, name))
+                if not dry_run:
+                    has_parquet = any(
+                        n.endswith(".parquet") for n in os.listdir(d)
+                    )
+                    is_referenced = any(
+                        r.startswith(f"data/{sub}/") for r in referenced
+                    )
+                    if not has_parquet and not is_referenced:
+                        shutil.rmtree(d, ignore_errors=True)
+        return {
+            "removed_files": removed,
+            "kept_recent": kept_recent,
+            "dry_run": dry_run,
+        }
+
 
 def foreach_batch_committer(
     store: SnapshotStore,
