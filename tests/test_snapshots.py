@@ -202,6 +202,95 @@ class TestIncrementalRead:
             store.read_incremental(7)
 
 
+class TestChanges:
+    """read_changes: the CDC / changelog scan — exact multiset diff
+    reading only files added/removed between the two manifests."""
+
+    def test_append_changes_equal_incremental_all_inserts(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        store.commit(_pts(spark, 150, 180), created_unix=30, n_partitions=2)
+        ch = store.read_changes(1).collect()
+        assert all(r["_change_type"] == "insert" for r in ch)
+        assert all(r["_change_count"] == 1 for r in ch)
+        inc = store.read_incremental(1)
+        assert {r["pid"] for r in ch} == {r["pid"] for r in inc.collect()}
+
+    def test_compaction_nets_to_zero_changes(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        store.compact(created_unix=30)
+        # every pre-compaction row reappears in the rewritten files: the
+        # +1/-1 weights cancel and the changelog is empty
+        assert store.read_changes(2, 3).count() == 0
+        # ...and changes across append+compact still show only the append
+        ch = store.read_changes(1, 3)
+        assert {r["pid"] for r in ch.collect()} == set(range(100, 150))
+
+    def test_merge_changes_are_delete_insert_pairs(self, spark, store):
+        df = _pts(spark, 0, 1000).drop("zkey")
+        store.commit(df, zkey_col="pid", created_unix=10, n_partitions=4)
+        delta = spark.createDataFrame(
+            [(5, 9999, 9999), (1500, 1, 2)], "pid long, x long, y long"
+        )
+        store.merge(delta, created_unix=20)
+        rows = store.read_changes(1, 2).collect()
+        got = {(r["pid"], r["x"], r["y"], r["_change_type"]) for r in rows}
+        assert got == {
+            (5, 5 * 37 % 1024, 5 * 91 % 1024, "delete"),
+            (5, 9999, 9999, "insert"),
+            (1500, 1, 2, "insert"),
+        }
+        # survivor rows co-located in the rewritten file cancelled out
+        assert all(r["_change_count"] == 1 for r in rows)
+
+    def test_multiplicity_counts(self, spark, store):
+        df = _pts(spark, 0, 50).drop("zkey")
+        dup = df.filter(F.col("pid") == 9)
+        store.commit(
+            df.unionByName(dup).unionByName(dup),
+            zkey_col="pid", created_unix=10, n_partitions=2,
+        )
+        delta = spark.createDataFrame([(9, 1, 1)], "pid long, x long, y long")
+        store.merge(delta, created_unix=20)
+        ch = {
+            (r["pid"], r["_change_type"]): r["_change_count"]
+            for r in store.read_changes(1, 2).collect()
+        }
+        assert ch[(9, "delete")] == 3  # all three identical copies removed
+        assert ch[(9, "insert")] == 1
+
+    def test_same_snapshot_is_empty_and_schema_stable(self, spark, store):
+        store.commit(_pts(spark, 0, 10), created_unix=10, n_partitions=1)
+        ch = store.read_changes(1, 1)
+        assert ch.count() == 0
+        assert ch.columns[-2:] == ["_change_type", "_change_count"]
+
+    def test_not_ancestor_raises(self, spark, store):
+        store.commit(_pts(spark, 0, 10), created_unix=10, n_partitions=1)
+        with pytest.raises(LookupError, match="ancestor"):
+            store.read_changes(7)
+
+    def test_changed_files_only_are_read(self, spark, store):
+        """IO contract: the diff plan's scan covers only added+removed
+        files, never the carried ones."""
+        df = _pts(spark, 0, 1000).drop("zkey")
+        store.commit(df, zkey_col="pid", created_unix=10, n_partitions=4)
+        delta = spark.createDataFrame([(3, 0, 0)], "pid long, x long, y long")
+        m = store.merge(delta, created_unix=20)
+        assert m["summary"]["rewritten_files"] == 1
+        scanned = {
+            "data/" + p.split("/data/", 1)[1]
+            for p in store.read_changes(1, 2).inputFiles()
+        }
+        carried = {
+            f["file"] for f in store.snapshot(2)["files"]
+        } & {f["file"] for f in store.snapshot(1)["files"]}
+        assert carried and not (scanned & carried), (
+            f"carried files scanned: {scanned & carried}"
+        )
+
+
 class TestMerge:
     def _keyed_store(self, spark, store, n=1000, files=4):
         """pid-sorted layout (zkey_col='pid'): the primary-key-sorted

@@ -806,6 +806,26 @@ def q_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pid", "x", "y")
 
 
+def q_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC / changelog scan (sources/snapshots.py
+    read_changes): the exact multiset diff between the merge demo's v1
+    and v2 — deletes of every pre-merge row of an updated key, inserts
+    of the replacement rows and the four new keys, and NOTHING for the
+    survivor rows co-located in rewritten files (they cancel in the
+    +1/−1 diff).  Only files added or removed by the merge are read
+    (pytest-asserted via inputFiles); the oracle computes the same diff
+    over the full before/after row sets — equal because carried files
+    contribute identically to both sides."""
+    st = _merge_demo_store(spark, sf_dir)
+    return st.read_changes(1, 2).select(
+        "pid",
+        "x",
+        "y",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_count").alias("n"),
+    )
+
+
 def q_streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming ingestion INTO the snapshot store
     (sources/snapshots.py foreach_batch_committer): each micro-batch
@@ -1747,6 +1767,32 @@ def _oracle_sql() -> dict[str, str]:
             WHERE x BETWEEN {BBOX_SINGLE["mins"][0]} AND {BBOX_SINGLE["maxs"][0]}
               AND y BETWEEN {BBOX_SINGLE["mins"][1]} AND {BBOX_SINGLE["maxs"][1]}
         """,
+        "store_changes": f"""
+            WITH {PTS_CTE},
+            u AS (
+              SELECT pid,
+                     (MIN(x) + 500000) % 1000000 AS x,
+                     (MIN(y) + 250000) % 1000000 AS y
+              FROM pts WHERE pid % {MERGE_UPD_MOD} = {MERGE_UPD_REM} GROUP BY pid
+            ),
+            m AS (
+              SELECT pid, x, y FROM pts WHERE pid % {MERGE_UPD_MOD} <> {MERGE_UPD_REM}
+              UNION ALL SELECT pid, x, y FROM u
+              UNION ALL SELECT pid, x, y FROM (VALUES {_MERGE_INSERT_VALUES}) v(pid, x, y)
+            ),
+            w AS (
+              SELECT pid, x, y, 1 AS w FROM m
+              UNION ALL SELECT pid, x, y, -1 AS w FROM pts
+            ),
+            d AS (
+              SELECT pid, x, y, SUM(w) AS net FROM w
+              GROUP BY pid, x, y HAVING SUM(w) <> 0
+            )
+            SELECT pid, x, y,
+                   CASE WHEN net > 0 THEN 'insert' ELSE 'delete' END AS change_type,
+                   CAST(ABS(net) AS BIGINT) AS n
+            FROM d
+        """,
         "streaming_snapshot_ingest": f"""
             WITH {PTS_CTE}
             SELECT pid, x, y FROM pts
@@ -2225,7 +2271,10 @@ def build_queries():
     compaction, incremental read, CoW merge, exactly-once streaming
     ingest).
     Positions 51+ are full-oracle entries whose families are already
-    proven in-window by an equal-or-stronger sibling: events_hourly and
+    proven in-window by an equal-or-stronger sibling: bbox_count by
+    bbox_count_dist (same oracle; dist is the distributed decomposition
+    path, the driver-side path is exercised by every bbox_rows entry,
+    and the count semantics by both); events_hourly and
     events_asof_tolerance by the three in-window events_* entries;
     tile_counts by tile_pyramid (its level-8 slice is exactly
     tile_counts' rows, plus rollup stats) and tile_counts_salted by the
@@ -2239,7 +2288,6 @@ def build_queries():
     Then the rows-only engine-hash entries, each with a green oracle
     twin in-window."""
     return {
-        "bbox_count": q_bbox_count,
         "bbox_count_dist": q_bbox_count_dist,
         "bbox_rows": q_bbox_rows,
         "bbox_rows_pruned": q_bbox_rows_pruned,
@@ -2263,6 +2311,7 @@ def build_queries():
         "store_compacted": q_store_compacted,
         "store_incremental": q_store_incremental,
         "store_merge": q_store_merge,
+        "store_changes": q_store_changes,
         "streaming_snapshot_ingest": q_streaming_snapshot_ingest,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
@@ -2290,6 +2339,7 @@ def build_queries():
         "streaming_dedup": q_streaming_dedup,
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
+        "bbox_count": q_bbox_count,
         "tile_counts": q_tile_counts,
         "hilbert_roundtrip": q_hilbert_roundtrip,
         "hilbert3_roundtrip": q_hilbert3_roundtrip,

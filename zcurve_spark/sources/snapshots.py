@@ -296,6 +296,82 @@ class SnapshotStore:
             *[os.path.join(self.path, n) for n in added]
         )
 
+    def read_changes(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (exclusive of
+        `from`, inclusive of `to`, default current) — the Iceberg
+        changelog-scan / CDC analog, and the general form of
+        :meth:`read_incremental` that works across ANY commit mix
+        (append, overwrite, merge, compact).
+
+        Emits one row per distinct changed row with ``_change_type``
+        ('insert' | 'delete') and ``_change_count`` (multiplicity —
+        tables here are multisets, not keyed).  Semantics: the exact
+        multiset difference ``to − from`` (inserts) and ``from − to``
+        (deletes).
+
+        Scale contract (100 TB): only files ADDED or REMOVED between the
+        two manifests are read — files carried through every commit in
+        the range never touch IO, so a merge that rewrote 3 of 10^5
+        files diffs 6 files, not the table.  A carried file contributes
+        identically to both sides, so skipping it is exact, and the diff
+        itself is ONE groupBy-all-columns shuffle over the changed files
+        (+1 for added, −1 for removed; net 0 rows — e.g. a compaction,
+        or survivor rows co-located in a rewritten file — cancel out).
+        Over pure appends this equals :meth:`read_incremental` with
+        every row ``_change_type='insert'`` (pytest-asserted).
+        """
+        to_m = self.snapshot(to_snapshot_id)
+        m = to_m
+        while m["snapshot_id"] != from_snapshot_id:
+            if m.get("parent_id") is None:
+                raise LookupError(
+                    f"v{from_snapshot_id} is not an ancestor of v{to_m['snapshot_id']}"
+                )
+            m = self.snapshot(m["parent_id"])
+        from_files = {f["file"] for f in m["files"]}
+        to_files = {f["file"] for f in to_m["files"]}
+        added = sorted(to_files - from_files)
+        removed = sorted(from_files - to_files)
+        base = self.read(to_m["snapshot_id"])
+        cols = base.columns
+        empty = (
+            base.limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_count", F.lit(1).cast("long"))
+        )
+        if not added and not removed:
+            return empty
+        parts = []
+        if added:
+            parts.append(
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in added]
+                ).withColumn("_w", F.lit(1))
+            )
+        if removed:
+            parts.append(
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in removed]
+                ).withColumn("_w", F.lit(-1))
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.groupBy(*cols)
+            .agg(F.sum("_w").alias("_net"))
+            .filter(F.col("_net") != 0)
+            .select(
+                *cols,
+                F.when(F.col("_net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.abs(F.col("_net")).cast("long").alias("_change_count"),
+            )
+        )
+
     # -- keyed mutation ----------------------------------------------------
     def merge(
         self,
