@@ -958,6 +958,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py decontaminate):
+    corpus docs sharing >=1 distinct word 4-gram with a held-out
+    benchmark slice (doc_id % 97 == 3) — the train-test-overlap scrub
+    of an LLM data pipeline.  Benchmark gram set broadcast; corpus
+    streams through one hash join + one groupBy.  Oracle recomputes the
+    same distinct-gram intersection counts in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    corpus = docs.filter(F.col("doc_id") % 97 != 3)
+    return DD.decontaminate(corpus, bench, n=4).select("doc_id", "n_hits")
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN (operators/cluster.py): density clusters of the point
+    table on a 2^16 grid — per-cell counts (the only pass over points),
+    all-integer relative density threshold (23/20 x mean), 8-adjacency
+    connected components via pointer doubling, deterministic min-cell-id
+    labels.  Oracle: recursive-CTE reachability over the same dense-cell
+    edge relation."""
+    from .operators.cluster import cluster_summary, grid_cluster
+
+    pts = points_from_lineitem(spark, sf_dir)
+    labeled = grid_cluster(pts, cell_shift=16, rel_num=23, rel_den=20)
+    return cluster_summary(labeled).select("cluster_id", "n_cells", "n_points")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: n-gram Jaccard pairs (same workload as
     `ngram_jaccard`) grouped into connected components by iterative
@@ -1879,6 +1906,48 @@ def _oracle_sql() -> dict[str, str]:
                        / greatest(len(a.grams) + len(b.grams)
                                   - len(list_intersect(a.grams, b.grams)), 1)) AS BIGINT) >= 10
         """,
+        "decontaminate": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(w) < 4 THEN []
+                            ELSE list_transform(generate_series(1, len(w) - 3),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                       END) AS grams
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            ),
+            bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 3)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g, unnest(g.grams) AS t(gram) JOIN bg USING (gram)
+            WHERE g.doc_id % 97 <> 3
+            GROUP BY g.doc_id
+        """,
+        "grid_cluster": f"""
+            WITH RECURSIVE {PTS_CTE},
+            cells AS (
+              SELECT x // 65536 AS cx, y // 65536 AS cy, count(*) AS cnt
+              FROM pts GROUP BY 1, 2
+            ),
+            tot AS (SELECT count(*) AS n_cells, sum(cnt) AS total FROM cells),
+            dense AS (
+              SELECT cx, cy, cnt, cx * 1048576 + cy AS cell FROM cells, tot
+              WHERE cnt * n_cells * 20 > total * 23
+            ),
+            e AS (
+              SELECT a.cell AS a_cell, b.cell AS b_cell FROM dense a JOIN dense b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            ),
+            reach AS (
+              SELECT a_cell AS cell, b_cell AS other FROM e
+              UNION
+              SELECT r.cell, e.b_cell FROM reach r JOIN e ON e.a_cell = r.other
+            ),
+            lbl AS (SELECT cell, min(other) AS component FROM reach GROUP BY cell)
+            SELECT l.component AS cluster_id, count(*) AS n_cells,
+                   sum(d.cnt) AS n_points
+            FROM lbl l JOIN dense d ON d.cell = l.cell
+            GROUP BY 1
+        """,
         "dedup_components": """
             WITH RECURSIVE g AS (
                 SELECT doc_id, lang,
@@ -2274,7 +2343,11 @@ def build_queries():
     proven in-window by an equal-or-stronger sibling: bbox_count by
     bbox_count_dist (same oracle; dist is the distributed decomposition
     path, the driver-side path is exercised by every bbox_rows entry,
-    and the count semantics by both); events_hourly and
+    and the count semantics by both); knn by knn_batch + knn_geo (the
+    per-query list path's row set and oracle are identical to
+    knn_batch's); store_incremental by store_changes (read_changes over
+    pure appends equals read_incremental, pytest-asserted, and the CDC
+    path subsumes the append-only file diff); events_hourly and
     events_asof_tolerance by the three in-window events_* entries;
     tile_counts by tile_pyramid (its level-8 slice is exactly
     tile_counts' rows, plus rollup stats) and tile_counts_salted by the
@@ -2302,20 +2375,20 @@ def build_queries():
         "zkey_roundtrip": q_zkey_roundtrip,
         "tile_pyramid": q_tile_pyramid,
         "tile_counts_incremental": q_tile_counts_incremental,
-        "knn": q_knn,
         "knn_batch": q_knn_batch,
         "distance_join": q_distance_join,
         "distance_join_geo": q_distance_join_geo,
         "knn_geo": q_knn_geo,
         "store_time_travel": q_store_time_travel,
         "store_compacted": q_store_compacted,
-        "store_incremental": q_store_incremental,
         "store_merge": q_store_merge,
         "store_changes": q_store_changes,
         "streaming_snapshot_ingest": q_streaming_snapshot_ingest,
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
+        "grid_cluster": q_grid_cluster,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
@@ -2340,6 +2413,8 @@ def build_queries():
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
         "bbox_count": q_bbox_count,
+        "knn": q_knn,
+        "store_incremental": q_store_incremental,
         "tile_counts": q_tile_counts,
         "hilbert_roundtrip": q_hilbert_roundtrip,
         "hilbert3_roundtrip": q_hilbert3_roundtrip,

@@ -616,3 +616,63 @@ def connected_components(
             "log2(component diameter) + 2)"
         )
     return lab.select("id", F.col("lbl").alias("component"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_hits: int = 1,
+    broadcast_benchmark: bool | None = None,
+    return_clean: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) corpus docs that share
+    >= `min_hits` DISTINCT word n-grams with a benchmark / eval set —
+    the standard train-test-overlap scrub of an LLM training pipeline
+    (long n-gram collision with an eval question means the model will
+    be graded on memorized text).
+
+    Returns (id, n_hits) for contaminated docs, or the clean corpus
+    (original schema) when `return_clean=True`.
+
+    Scale design (100 TB corpus x ~10^4-10^6 benchmark docs): the
+    benchmark side collapses to its DISTINCT n-gram relation — bounded
+    by benchmark size, independent of corpus size.  Corpus docs explode
+    to distinct grams (Arrow shingler, the measured hot path — see
+    distinct_ngrams_arrow) and hash-join on the gram string with the
+    benchmark set as the BUILD side: broadcast when the benchmark is
+    small enough (`broadcast_benchmark`; auto = benchmark doc count
+    <= 500k, the same order as the semi-join gate in minhash_lsh_pairs),
+    else a shuffled hash join keyed on gram — either way the corpus
+    side streams through exactly once.  The per-doc hit count is one
+    partial-aggregating groupBy on doc id; `return_clean` anti-joins
+    the (tiny) contaminated-id set back onto the corpus.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(distinct_ngrams_arrow(text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark is None:
+        broadcast_benchmark = benchmark.count() <= 500_000
+    build = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
+
+    corpus_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_ngrams_arrow(text_col, n)).alias("gram"),
+    )
+    hits = (
+        corpus_grams.join(build, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    if not return_clean:
+        return hits.select(F.col("id").alias(id_col), "n_hits")
+    return docs.join(
+        F.broadcast(hits.select(F.col("id").alias(id_col))), id_col, "left_anti"
+    )
