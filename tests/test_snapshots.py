@@ -484,3 +484,62 @@ class TestOrphanGC:
             assert not os.path.exists(os.path.join(store.path, "data", sub))
         assert os.path.exists(os.path.join(store.path, "data", "s3"))
         assert store.read().count() == 200
+
+
+class TestRollbackAndTags:
+    def test_rollback_restores_rows_metadata_only(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        m = store.rollback(1, created_unix=30)
+        assert m["snapshot_id"] == 3 and m["operation"] == "rollback"
+        assert m["summary"]["rolled_back_to"] == 1
+        # current read == v1 rows; no new data dir was written
+        assert {r["pid"] for r in store.read().collect()} == set(range(100))
+        assert not os.path.exists(os.path.join(store.path, "data/s3"))
+        # history preserved: v2 still readable
+        assert store.read(2).count() == 150
+
+    def test_rollback_shows_as_deletes_in_changelog(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.commit(_pts(spark, 100, 150), created_unix=20, n_partitions=2)
+        store.rollback(1, created_unix=30)
+        ch = store.read_changes(2, 3).collect()
+        assert all(r["_change_type"] == "delete" for r in ch)
+        assert {r["pid"] for r in ch} == set(range(100, 150))
+
+    def test_tag_read_and_expire_pin(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.set_tag("train-run-7", 1)
+        store.commit(_pts(spark, 100, 150), operation="overwrite",
+                     created_unix=20, n_partitions=2)
+        store.commit(_pts(spark, 150, 180), operation="overwrite",
+                     created_unix=30, n_partitions=2)
+        assert store.tags() == {"train-run-7": 1}
+        assert store.read(tag="train-run-7").count() == 100
+        # expire keep_last=1 would drop v1 — the tag pins it
+        rep = store.expire(keep_last=1)
+        assert 1 in rep["kept_snapshots"] and 2 in rep["removed_snapshots"]
+        assert store.read(tag="train-run-7").count() == 100
+        # untag, then expiry reclaims it
+        store.delete_tag("train-run-7")
+        rep = store.expire(keep_last=1)
+        assert rep["removed_snapshots"] == [1]
+        with pytest.raises(LookupError):
+            store.snapshot(1)
+
+    def test_rollback_by_tag(self, spark, store):
+        store.commit(_pts(spark, 0, 100), created_unix=10, n_partitions=2)
+        store.set_tag("good")
+        store.commit(_pts(spark, 100, 120), operation="overwrite",
+                     created_unix=20, n_partitions=2)
+        store.rollback(tag="good", created_unix=30)
+        assert store.read().count() == 100
+
+    def test_tag_errors(self, spark, store):
+        store.commit(_pts(spark, 0, 10), created_unix=10, n_partitions=1)
+        with pytest.raises(LookupError, match="no tag"):
+            store.read(tag="nope")
+        with pytest.raises(LookupError, match="no tag"):
+            store.delete_tag("nope")
+        with pytest.raises(ValueError, match="at most one"):
+            store.snapshot(1, tag="x")

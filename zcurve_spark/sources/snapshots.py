@@ -111,11 +111,55 @@ class SnapshotStore:
             )
         return rows
 
-    def snapshot(self, snapshot_id: int | None = None, *, as_of_unix: int | None = None) -> dict:
+    # -- named refs (tags) --------------------------------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, SNAP_DIR, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """name -> snapshot_id for every tag (Iceberg ref analog).
+        Tagged snapshots are pinned: :meth:`expire` never drops them, so
+        a tag is a durable reproducibility anchor ('the snapshot run X
+        trained on') independent of the keep_last window."""
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> dict[str, int]:
+        """Tag a snapshot (current by default).  Atomic via the same
+        temp + os.replace protocol as every other metadata write."""
+        sid = self.snapshot(snapshot_id)["snapshot_id"]
+        refs = self.tags()
+        refs[name] = sid
+        _atomic_json(self._refs_path(), refs)
+        return refs
+
+    def delete_tag(self, name: str) -> dict[str, int]:
+        refs = self.tags()
+        if name not in refs:
+            raise LookupError(f"no tag {name!r} at {self.path}")
+        del refs[name]
+        _atomic_json(self._refs_path(), refs)
+        return refs
+
+    def snapshot(
+        self,
+        snapshot_id: int | None = None,
+        *,
+        as_of_unix: int | None = None,
+        tag: str | None = None,
+    ) -> dict:
         """Full manifest of a snapshot: by id, by timestamp (latest
-        snapshot with ``created_unix <= as_of_unix``), or current."""
-        if snapshot_id is not None and as_of_unix is not None:
-            raise ValueError("pass snapshot_id or as_of_unix, not both")
+        snapshot with ``created_unix <= as_of_unix``), by tag name, or
+        current."""
+        if sum(a is not None for a in (snapshot_id, as_of_unix, tag)) > 1:
+            raise ValueError("pass at most one of snapshot_id / as_of_unix / tag")
+        if tag is not None:
+            refs = self.tags()
+            if tag not in refs:
+                raise LookupError(f"no tag {tag!r} at {self.path}")
+            snapshot_id = refs[tag]
         if snapshot_id is None and as_of_unix is None:
             m = self.current()
             if m is None:
@@ -237,11 +281,17 @@ class SnapshotStore:
     def _paths(self, manifest: dict) -> list[str]:
         return [os.path.join(self.path, f["file"]) for f in manifest["files"]]
 
-    def read(self, snapshot_id: int | None = None, *, as_of_unix: int | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        *,
+        as_of_unix: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
         """Scan a snapshot (current by default).  The file list comes
         from the manifest — no directory listing, and dropping a file
         from a manifest removes it from every future plan instantly."""
-        m = self.snapshot(snapshot_id, as_of_unix=as_of_unix)
+        m = self.snapshot(snapshot_id, as_of_unix=as_of_unix, tag=tag)
         paths = self._paths(m)
         if not paths:
             raise LookupError(f"snapshot v{m['snapshot_id']} has no data files")
@@ -453,6 +503,53 @@ class SnapshotStore:
         )
 
     # -- maintenance ------------------------------------------------------
+    def rollback(
+        self,
+        to_snapshot_id: int | None = None,
+        *,
+        tag: str | None = None,
+        created_unix: int | None = None,
+    ) -> dict:
+        """Roll the table back to an earlier snapshot's state by
+        committing a NEW snapshot that references exactly that
+        snapshot's files — metadata-only (zero data IO, instant at any
+        table size), and history-preserving: the rolled-back-over
+        snapshots stay readable until expired, and the rollback itself
+        is one more auditable commit (the Iceberg
+        ``rollback_to_snapshot`` model, not a pointer rewind).
+        """
+        target = self.snapshot(to_snapshot_id, tag=tag)
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        sid = cur["snapshot_id"] + 1
+        if created_unix is None:
+            import time
+
+            created_unix = int(time.time())
+        manifest = {
+            **{k: v for k, v in target.items()
+               if k not in ("snapshot_id", "parent_id", "operation",
+                            "created_unix", "summary", "lineage")},
+            "snapshot_id": sid,
+            "parent_id": cur["snapshot_id"],
+            "operation": "rollback",
+            "created_unix": created_unix,
+            "lineage": {
+                "rolled_back_to": target["snapshot_id"],
+                **target.get("lineage", {}),
+            },
+            "summary": {
+                "added_files": 0,
+                "added_rows": 0,
+                "carried_files": len(target["files"]),
+                "rolled_back_to": target["snapshot_id"],
+            },
+        }
+        _atomic_json(self._snap_manifest_path(sid), manifest)
+        _write_manifest(self.path, manifest)
+        return manifest
+
     def compact(
         self,
         *,
@@ -483,11 +580,11 @@ class SnapshotStore:
 
     def expire(self, *, keep_last: int = 2, dry_run: bool = False) -> dict:
         """Drop all but the newest `keep_last` snapshots and delete data
-        files no kept snapshot references (the current snapshot is
-        always kept).  Deletion is explicit and separate from commits —
-        a reader pinned to a kept snapshot can never lose files.
-        ``dry_run`` reports what would be removed without touching
-        anything."""
+        files no kept snapshot references (the current snapshot and
+        every TAGGED snapshot are always kept).  Deletion is explicit
+        and separate from commits — a reader pinned to a kept snapshot
+        can never lose files.  ``dry_run`` reports what would be removed
+        without touching anything."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         ids = self.snapshot_ids()
@@ -496,6 +593,7 @@ class SnapshotStore:
         keep = set(ids[-keep_last:])
         if cur_id is not None:
             keep.add(cur_id)
+        keep.update(sid for sid in self.tags().values() if sid in set(ids))
         drop = [i for i in ids if i not in keep]
         referenced = set()
         for sid in keep:
