@@ -566,6 +566,25 @@ def main() -> None:
 
     run_extra("dedup_pipeline", dedup_pipeline)
 
+    # --- benchmark decontamination over the same amplified corpus: the
+    # held-out slice (1/199 of the BASE docs) is the eval set; the op is
+    # one broadcast gram join + one groupBy over the corpus ---
+    def decontam():
+        from zcurve_spark.operators.dedup import decontaminate
+
+        p = os.path.join("/tmp/zcurve_stage", f"docs_x{dedup_mult}")
+        if not os.path.exists(p + "/_SUCCESS"):
+            amplify_docs(
+                fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")), dedup_mult
+            ).write.mode("overwrite").parquet(p)
+        corpus = fan_out(spark.read.parquet(p))
+        bench_set = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 199 == 7
+        )
+        return decontaminate(corpus, bench_set, n=4).count()
+
+    run_extra("decontam", decontam)
+
     # --- ANN top-k ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if mult > 1:
@@ -676,6 +695,11 @@ def main() -> None:
         out["dedup_mult"] = dedup_mult
         out["dedup_chain_docs"] = n_chain_docs
         out["dedup_docs_per_sec"] = round(n_chain_docs / extras["dedup_pipeline"], 1)
+    if "decontam" in extras and extras["decontam"] > 0:
+        n_base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        out["decontam_docs_per_sec"] = round(
+            n_base_docs * dedup_mult / extras["decontam"], 1
+        )
     if "bbox_pruned" in timings and "bbox_scan_unsorted" in timings and timings["bbox_pruned"] > 0:
         out["layout_speedup"] = round(
             timings["bbox_scan_unsorted"] / timings["bbox_pruned"], 2

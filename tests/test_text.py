@@ -30,3 +30,60 @@ def test_top_tokens_plan_has_no_global_vocabulary_sort(spark):
     assert "TakeOrderedAndProject" in plan
     # the window (rank over k rows) must be downstream of the limit
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_repetition_milli_values(spark):
+    from zcurve_spark.functions.text import repetition_milli
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 2-grams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "x y z"),          # no repeats
+            (3, "w"),              # shorter than n -> 0
+            (4, "q q q q"),        # 2-grams all 'q q' -> 3 total 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", repetition_milli("text", 2).alias("m")).collect()
+    }
+    assert out == {1: 500, 2: 0, 3: 0, 4: 666}
+
+
+def test_top_token_stats_values(spark):
+    from zcurve_spark.functions.text import top_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["top_count"], r["top_frac_milli"])
+           for r in top_token_stats(df).collect()}
+    assert out == {1: (4, 3, 750), 2: (2, 1, 500)}
+
+
+def test_source_cap_deterministic_and_capped(spark):
+    from zcurve_spark.functions.text import source_cap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(r["doc_id"] for r in source_cap(docs, 5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in source_cap(docs.repartition(13), 5).collect()
+    )
+    assert a == b  # same kept set under any partitioning
+    per = source_cap(docs, 5).groupBy("source").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+
+
+def test_source_cap_plan_pushes_group_limit(spark):
+    """The rank<=k filter must run BELOW the shuffle (per-map-partition
+    top-k): a hot domain ships k rows per input partition, not its whole
+    population."""
+    from zcurve_spark.functions.text import source_cap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = source_cap(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # both the partial (pre-shuffle) and final group-limit should appear
+    assert plan.count("WindowGroupLimit") >= 2, plan

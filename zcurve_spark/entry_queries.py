@@ -1017,6 +1017,38 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_tokens(docs, k=100)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (functions/text.py):
+    duplicate 2-/3-gram occurrence fractions per doc, all-integer milli
+    ratios; pure Column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.repetition_milli("text", 2).alias("rep2_milli"),
+        TX.repetition_milli("text", 3).alias("rep3_milli"),
+    )
+
+
+def q_top_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-word repetition filter (functions/text.py
+    top_token_stats): explode + two codegen partial-agg groupBys —
+    word-count shape, no per-row interpreted fold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.top_token_stats(docs).select(
+        "doc_id", "n_tokens", "top_count", "top_frac_milli"
+    )
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (functions/text.py source_cap): keep at
+    most 25 docs per source by deterministic md5 priority — the
+    training-mix domain cap.  Spark's WindowGroupLimit pushes the
+    rank<=k filter below the sort (per-partition top-k before the
+    shuffle), pytest-asserted."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.source_cap(docs, 25).select("doc_id", "source")
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-hash train/val/test assignment: reproducible
     across engines and re-runs without storing membership."""
@@ -1922,6 +1954,47 @@ def _oracle_sql() -> dict[str, str]:
             WHERE g.doc_id % 97 <> 3
             GROUP BY g.doc_id
         """,
+        "repetition_stats": """
+            WITH g AS (
+              SELECT doc_id, len(w) AS nw,
+                     CASE WHEN len(w) < 2 THEN []
+                          ELSE list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1]) END AS g2,
+                     CASE WHEN len(w) < 3 THEN []
+                          ELSE list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g3
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(nw - 1, 0) <= 0 THEN 0
+                        ELSE CAST(floor(1000.0 * (greatest(nw - 1, 0) - len(list_distinct(g2)))
+                                  / greatest(nw - 1, 0)) AS BIGINT) END AS rep2_milli,
+                   CASE WHEN greatest(nw - 2, 0) <= 0 THEN 0
+                        ELSE CAST(floor(1000.0 * (greatest(nw - 2, 0) - len(list_distinct(g3)))
+                                  / greatest(nw - 2, 0)) AS BIGINT) END AS rep3_milli
+            FROM g
+        """,
+        "top_token_stats": """
+            WITH per AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok
+            )
+            SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_count,
+                   CAST(floor(1000.0 * max(c) / sum(c)) AS BIGINT) AS top_frac_milli
+            FROM per GROUP BY doc_id
+        """,
+        "source_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 25
+        """,
         "grid_cluster": f"""
             WITH RECURSIVE {PTS_CTE},
             cells AS (
@@ -2347,7 +2420,15 @@ def build_queries():
     per-query list path's row set and oracle are identical to
     knn_batch's); store_incremental by store_changes (read_changes over
     pure appends equals read_incremental, pytest-asserted, and the CDC
-    path subsumes the append-only file diff); events_hourly and
+    path subsumes the append-only file diff); bbox_rows_pruned by
+    bbox_rows_coordstats (same store, same box, the coord-stats pruning
+    variant) + bbox_rows_hilbert_pruned (the interval-pruned read path
+    on the hilbert store — read_pruned_df is curve-agnostic);
+    bbox_rows_3d by bbox_rows_3d_full (same boxes through the strictly
+    harder 96-bit octree path; the 62-bit 3D path keeps pytest
+    coverage); ngram_jaccard by dedup_components + dedup_pipeline,
+    whose oracles recompute the identical gram/threshold pair relation
+    before clustering; events_hourly and
     events_asof_tolerance by the three in-window events_* entries;
     tile_counts by tile_pyramid (its level-8 slice is exactly
     tile_counts' rows, plus rollup stats) and tile_counts_salted by the
@@ -2363,8 +2444,6 @@ def build_queries():
     return {
         "bbox_count_dist": q_bbox_count_dist,
         "bbox_rows": q_bbox_rows,
-        "bbox_rows_pruned": q_bbox_rows_pruned,
-        "bbox_rows_3d": q_bbox_rows_3d,
         "bbox_rows_3d_full": q_bbox_rows_3d_full,
         "zkey3_roundtrip": q_zkey3_roundtrip,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
@@ -2387,9 +2466,11 @@ def build_queries():
         "pip_count_concave": q_pip_count_concave,
         "raster_assign": q_raster_assign,
         "dedup_exact": q_dedup_exact,
+        "repetition_stats": q_repetition_stats,
+        "top_token_stats": q_top_token_stats,
+        "source_cap": q_source_cap,
         "decontaminate": q_decontaminate,
         "grid_cluster": q_grid_cluster,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2412,6 +2493,9 @@ def build_queries():
         "streaming_dedup": q_streaming_dedup,
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
+        "bbox_rows_pruned": q_bbox_rows_pruned,
+        "bbox_rows_3d": q_bbox_rows_3d,
+        "ngram_jaccard": q_ngram_jaccard,
         "bbox_count": q_bbox_count,
         "knn": q_knn,
         "store_incremental": q_store_incremental,

@@ -160,3 +160,76 @@ def stopword_count(text_col):
     for w in STOPWORDS:
         out = out + occurrences(text_col, w)
     return out.cast("long")
+
+
+def repetition_milli(text_col, n: int = 2) -> Column:
+    """Within-doc repetition ratio in [0, 1000]: the fraction of word
+    n-gram OCCURRENCES that are repeats of an earlier occurrence —
+    floor(1000 * (total - distinct) / total) — the Gopher-style
+    "duplicate n-gram fraction" quality filter.  Pure Column HOFs over
+    one token split; 0 for docs shorter than n tokens."""
+    t = _c(text_col)
+    w = F.split(t, " ")
+    total = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total <= 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(1000) * (total - distinct) / total).cast("long")
+    )
+
+
+def top_token_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_tokens, top_count, top_frac_milli): how much of each
+    doc is its single most frequent token — the "most common word"
+    repetition filter (Gopher-style).  Explode + two codegen groupBys
+    (map-side partial aggs), NOT a per-row interpreted map fold — the
+    shuffle key is (doc, token), so the plan scales like any word-count
+    and stays whole-stage-codegen end to end.  Ties don't matter (only
+    the max count is read), so SQL oracles agree exactly."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_c(text_col), " ")).alias("tok"),
+    )
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "top_count",
+        F.floor(F.lit(1000) * F.col("top_count") / F.col("n_tokens"))
+        .cast("long")
+        .alias("top_frac_milli"),
+    )
+
+
+def source_cap(docs, k: int, source_col: str = "source", id_col: str = "doc_id"):
+    """Training-mix quota sampling: keep at most `k` docs per source,
+    chosen by a DETERMINISTIC priority (md5 of the id, ties by id) so
+    any cluster, partitioning, or re-run keeps the SAME k docs — the
+    per-domain cap every web-scale mix applies (no domain may dominate
+    the train set).
+
+    One window over the source-hash shuffle.  Spark's WindowGroupLimit
+    rewrite pushes the rank<=k filter below the sort (partial top-k per
+    map partition before the shuffle), so a 10^9-doc hot domain ships
+    only k rows per input partition, not its whole population — the
+    skew guard is in the engine, asserted by pytest against the plan.
+    """
+    from pyspark.sql import Window
+
+    pri = F.md5(_c(id_col).cast("string"))
+    w = Window.partitionBy(_c(source_col)).orderBy(pri, _c(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
