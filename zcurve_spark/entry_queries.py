@@ -1500,6 +1500,28 @@ def q_simhash_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked pHash recall (operators/imagehash.py): one
+    structured PNG image per document id, plus a PIXEL-IDENTICAL twin in
+    a BMP container for every 10th id — lossless containers, so each
+    twin pair hashes to hamming 0 and the banded search (radius 12, 16
+    bands over 64 bits — the REAL multi-band path, not a degenerate
+    whole-hash join) must find all of them.  Filtering to the planted
+    offset relation on BOTH sides makes the result pure id arithmetic:
+    recall is proven by the hash match, and rare cross-image collisions
+    are excluded identically (cross-image hamming measured >= 20 on
+    this corpus anyway).  Decode+hash runs distributed in Arrow batches
+    via this repo's own PNG/BMP/JPEG codecs."""
+    from .operators.imagehash import phash_neardup_pairs, synth_image_table
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    imgs = synth_image_table(ids, twin_mod=10, twin_offset=30_000_000)
+    pairs = phash_neardup_pairs(imgs, max_hamming=12)
+    return pairs.filter(F.col("b_id") == F.col("a_id") + 30_000_000).select(
+        "a_id", "b_id", "hamming"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator in the oracle gate: the
     applyInPandasWithState gap-sessionizer runs availableNow over the
@@ -2123,6 +2145,11 @@ def _oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
             FROM alld a JOIN alld b ON a.text = b.text AND a.doc_id < b.doc_id
         """,
+        "image_phash_dups": """
+            SELECT doc_id AS a_id, doc_id + 30000000 AS b_id,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents WHERE doc_id % 10 = 0
+        """,
         "streaming_sessionize": """
             WITH g AS (
               SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
@@ -2422,8 +2449,11 @@ def build_queries():
     pure appends equals read_incremental, pytest-asserted, and the CDC
     path subsumes the append-only file diff); bbox_rows_pruned by
     bbox_rows_coordstats (same store, same box, the coord-stats pruning
-    variant) + bbox_rows_hilbert_pruned (the interval-pruned read path
-    on the hilbert store — read_pruned_df is curve-agnostic);
+    variant) + bbox_rows_hilbert3_pruned (the interval-pruned read path
+    on an hkey store — read_pruned_df is curve-agnostic, so the r5
+    displacement of bbox_rows_hilbert_pruned follows the same rule:
+    2D-hilbert querying stays proven by in-window bbox_rows_hilbert,
+    pruned reading by the 3D cell);
     bbox_rows_3d by bbox_rows_3d_full (same boxes through the strictly
     harder 96-bit octree path; the 62-bit 3D path keeps pytest
     coverage); ngram_jaccard by dedup_components + dedup_pipeline,
@@ -2448,7 +2478,6 @@ def build_queries():
         "zkey3_roundtrip": q_zkey3_roundtrip,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
         "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
-        "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "bbox_rows_hilbert3_pruned": q_bbox_rows_hilbert3_pruned,
         "bbox_rows_coordstats": q_bbox_rows_coordstats,
         "zkey_roundtrip": q_zkey_roundtrip,
@@ -2489,10 +2518,12 @@ def build_queries():
         "minhash_exact_dups": q_minhash_exact_dups,
         "dedup_pipeline": q_dedup_pipeline,
         "simhash_exact_dups": q_simhash_exact_dups,
+        "image_phash_dups": q_image_phash_dups,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
+        "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "bbox_rows_pruned": q_bbox_rows_pruned,
         "bbox_rows_3d": q_bbox_rows_3d,
         "ngram_jaccard": q_ngram_jaccard,

@@ -465,26 +465,29 @@ def simhash_bands_for(max_hamming: int, bits: int = SIMHASH_BITS) -> int:
     return bits
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame,
+def banded_hamming_pairs(
+    fps: DataFrame,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 6,
+    bits: int,
+    max_hamming: int,
     n_bands: int | None = None,
-    bits: int = SIMHASH_BITS,
+    id_col: str = "id",
+    fp_col: str = "fp",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """All pairs of a (id, fingerprint) relation within hamming distance
+    <= max_hamming — the GENERIC banded hamming join shared by text
+    SimHash (48-bit) and image pHash (64-bit, operators/imagehash.py).
 
     Pigeonhole banding: with n_bands bands, any pair within hamming
     distance < n_bands shares at least one exact band (its <= max_hamming
     differing bits can dirty at most max_hamming bands) -> equi-join on
-    (band, band_bits), verify exact hamming on candidates only.  The
-    default n_bands is DERIVED as the smallest divisor of `bits` greater
-    than max_hamming, so the contract 'all pairs with hamming <=
-    max_hamming' always holds (recall 1.0, not approximate).
-    Output (a_id, b_id, hamming).
-    """
+    (band, band_bits), verify exact ``bit_count(xor)`` on candidates
+    only.  The default n_bands is DERIVED as the smallest divisor of
+    `bits` greater than max_hamming (simhash_bands_for), so the contract
+    'all pairs with hamming <= max_hamming' always holds (recall 1.0,
+    not approximate).  shiftrightunsigned makes the band extraction
+    sign-blind, so full 64-bit fingerprints stored as signed longs work.
+    Output (a_id, b_id, hamming)."""
     if n_bands is None:
         n_bands = simhash_bands_for(max_hamming, bits)
     if max_hamming >= n_bands:
@@ -493,9 +496,7 @@ def simhash_neardup_pairs(
             f"need n_bands > max_hamming"
         )
     band_bits = bits // n_bands
-    s = simhash_fingerprints(
-        fan_out(docs), text_col=text_col, id_col=id_col, bits=bits
-    )
+    s = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh"))
     bands = s.select(
         "id",
         "sh",
@@ -525,6 +526,28 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming —
+    fingerprints via the codegen explode/agg kernel, pair search via the
+    shared :func:`banded_hamming_pairs` (see there for the recall
+    proof).  Output (a_id, b_id, hamming)."""
+    s = simhash_fingerprints(
+        fan_out(docs), text_col=text_col, id_col=id_col, bits=bits
+    )
+    return banded_hamming_pairs(
+        s, bits=bits, max_hamming=max_hamming, n_bands=n_bands,
+        id_col="id", fp_col="sh",
     )
 
 
