@@ -585,6 +585,26 @@ def main() -> None:
 
     run_extra("decontam", decontam)
 
+    # --- image pHash near-dup over a synthesized image corpus: the one
+    # Python stage (Arrow-batched decode+hash through the repo's own
+    # codecs) plus the banded hamming join; planted container twins
+    # (1/10) give the join real dup structure ---
+    n_phash_imgs = int(os.environ.get("SPARK_GRAFT_PHASH_IMGS", "20000"))
+
+    def image_phash_neardup():
+        from zcurve_spark.operators.imagehash import (
+            phash_neardup_pairs,
+            synth_image_table,
+        )
+
+        ids = fan_out(
+            spark.range(0, n_phash_imgs).select(F.col("id").alias("doc_id"))
+        )
+        imgs = synth_image_table(ids, twin_mod=10, twin_offset=100_000_000)
+        return phash_neardup_pairs(imgs, max_hamming=12).count()
+
+    run_extra("image_phash", image_phash_neardup)
+
     # --- ANN top-k ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if mult > 1:
@@ -699,6 +719,11 @@ def main() -> None:
         n_base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         out["decontam_docs_per_sec"] = round(
             n_base_docs * dedup_mult / extras["decontam"], 1
+        )
+    if "image_phash" in extras and extras["image_phash"] > 0:
+        out["phash_imgs"] = n_phash_imgs + n_phash_imgs // 10
+        out["phash_imgs_per_sec"] = round(
+            (n_phash_imgs + n_phash_imgs // 10) / extras["image_phash"], 1
         )
     if "bbox_pruned" in timings and "bbox_scan_unsorted" in timings and timings["bbox_pruned"] > 0:
         out["layout_speedup"] = round(

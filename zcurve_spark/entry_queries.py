@@ -1522,6 +1522,31 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked audio snippet matching (operators/audiohash.py):
+    one deterministic 2s chirp track per document id, exact HOP-aligned
+    sub-clips of every 10th track as the query set, then the full
+    constellation pipeline — landmark fingerprints, hash equi-join,
+    offset voting, per-snippet argmax.  The RAW operator output is the
+    oracle relation (no planted-pair masking): each snippet must match
+    its own track at frame offset 16 and nothing else, which holds by
+    the measured vote margin (28/28 aligned landmarks for the true
+    track vs <= 6 coincidental votes for any wrong one, min_votes=12
+    between them)."""
+    from .operators.audiohash import (
+        audio_match_join,
+        snippet_table,
+        synth_audio_table,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    tracks = synth_audio_table(ids)
+    snips = snippet_table(tracks, mod=10, offset=40_000_000)
+    return audio_match_join(snips, tracks).select(
+        "snippet_id", "matched_id", "frame_offset"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator in the oracle gate: the
     applyInPandasWithState gap-sessionizer runs availableNow over the
@@ -2150,6 +2175,11 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS hamming
             FROM documents WHERE doc_id % 10 = 0
         """,
+        "audio_match": """
+            SELECT doc_id + 40000000 AS snippet_id, doc_id AS matched_id,
+                   CAST(16 AS BIGINT) AS frame_offset
+            FROM documents WHERE doc_id % 10 = 0
+        """,
         "streaming_sessionize": """
             WITH g AS (
               SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
@@ -2453,7 +2483,9 @@ def build_queries():
     on an hkey store — read_pruned_df is curve-agnostic, so the r5
     displacement of bbox_rows_hilbert_pruned follows the same rule:
     2D-hilbert querying stays proven by in-window bbox_rows_hilbert,
-    pruned reading by the 3D cell);
+    pruned reading by the 3D cell; bbox_rows_hilbert3 is likewise
+    subsumed by bbox_rows_hilbert3_pruned — the same octree cover over
+    the same boxes through the strictly harder pruned-store read);
     bbox_rows_3d by bbox_rows_3d_full (same boxes through the strictly
     harder 96-bit octree path; the 62-bit 3D path keeps pytest
     coverage); ngram_jaccard by dedup_components + dedup_pipeline,
@@ -2477,7 +2509,6 @@ def build_queries():
         "bbox_rows_3d_full": q_bbox_rows_3d_full,
         "zkey3_roundtrip": q_zkey3_roundtrip,
         "bbox_rows_hilbert": q_bbox_rows_hilbert,
-        "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
         "bbox_rows_hilbert3_pruned": q_bbox_rows_hilbert3_pruned,
         "bbox_rows_coordstats": q_bbox_rows_coordstats,
         "zkey_roundtrip": q_zkey_roundtrip,
@@ -2519,10 +2550,12 @@ def build_queries():
         "dedup_pipeline": q_dedup_pipeline,
         "simhash_exact_dups": q_simhash_exact_dups,
         "image_phash_dups": q_image_phash_dups,
+        "audio_match": q_audio_match,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
+        "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
         "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "bbox_rows_pruned": q_bbox_rows_pruned,
         "bbox_rows_3d": q_bbox_rows_3d,
