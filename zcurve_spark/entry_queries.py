@@ -1547,6 +1547,30 @@ def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked CROSS-CODEC video clip matching
+    (operators/videohash.py): one 24-frame DIB AVI per document id
+    (per-frame-unique patch content), Motion-JPEG re-encoded 8-frame
+    clips of every 10th video as queries — the match must absorb the
+    JPEG loss (per-frame pHash hamming <= 12, banded radius covers it)
+    and land every clip on its own video at frame offset 8.  Raw
+    operator output = pure id arithmetic; wrong videos would need >= 4
+    frame-level hash collisions at one offset (frames measured >= 20
+    apart)."""
+    from .operators.videohash import (
+        synth_video_table,
+        video_match_join,
+        video_snippet_table,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    vids = synth_video_table(ids)
+    snips = video_snippet_table(vids, mod=10, offset=50_000_000)
+    return video_match_join(snips, vids).select(
+        "snippet_id", "matched_id", "frame_offset"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator in the oracle gate: the
     applyInPandasWithState gap-sessionizer runs availableNow over the
@@ -2175,6 +2199,11 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS hamming
             FROM documents WHERE doc_id % 10 = 0
         """,
+        "video_match": """
+            SELECT doc_id + 50000000 AS snippet_id, doc_id AS matched_id,
+                   CAST(8 AS BIGINT) AS frame_offset
+            FROM documents WHERE doc_id % 10 = 0
+        """,
         "audio_match": """
             SELECT doc_id + 40000000 AS snippet_id, doc_id AS matched_id,
                    CAST(16 AS BIGINT) AS frame_offset
@@ -2485,7 +2514,9 @@ def build_queries():
     2D-hilbert querying stays proven by in-window bbox_rows_hilbert,
     pruned reading by the 3D cell; bbox_rows_hilbert3 is likewise
     subsumed by bbox_rows_hilbert3_pruned — the same octree cover over
-    the same boxes through the strictly harder pruned-store read);
+    the same boxes through the strictly harder pruned-store read; batch
+    events_sessionize by streaming_sessionize, the same gap-session
+    semantics under the harder stateful-operator oracle);
     bbox_rows_3d by bbox_rows_3d_full (same boxes through the strictly
     harder 96-bit octree path; the 62-bit 3D path keeps pytest
     coverage); ngram_jaccard by dedup_components + dedup_pipeline,
@@ -2543,7 +2574,6 @@ def build_queries():
         "hilbert_roundtrips": q_hilbert_roundtrips,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
-        "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
         "streaming_tile_counts": q_streaming_tile_counts,
         "minhash_exact_dups": q_minhash_exact_dups,
@@ -2551,10 +2581,12 @@ def build_queries():
         "simhash_exact_dups": q_simhash_exact_dups,
         "image_phash_dups": q_image_phash_dups,
         "audio_match": q_audio_match,
+        "video_match": q_video_match,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "lsh_ann_exact": q_lsh_ann_exact,
         # ---- position 51+: full-oracle but family-redundant ----
+        "events_sessionize": q_events_sessionize,
         "bbox_rows_hilbert3": q_bbox_rows_hilbert3,
         "bbox_rows_hilbert_pruned": q_bbox_rows_hilbert_pruned,
         "bbox_rows_pruned": q_bbox_rows_pruned,
