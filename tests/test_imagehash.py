@@ -115,6 +115,64 @@ def test_phash_plan_is_equi_join_no_cartesian(spark):
     )
 
 
+def test_multiblock_equals_brute_force(spark):
+    """The Manku block-combination scheme (r=3 -> 56 tables of 40-bit
+    keys) returns exactly the brute-force pair set, twins included."""
+    from zcurve_spark.operators.dedup import hamming_pairs_multiblock
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    imgs = synth_image_table(ids, twin_mod=6, twin_offset=500)
+    fps_df = image_phash(imgs, id_col="img_id")
+    fps = {r["id"]: r["ph"] for r in fps_df.collect()}
+    brute = sorted(
+        (a, b, _ham(fps[a], fps[b]))
+        for a in fps
+        for b in fps
+        if a < b and _ham(fps[a], fps[b]) <= 3
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in hamming_pairs_multiblock(
+            fps_df, bits=64, max_hamming=3, fp_col="ph"
+        ).collect()
+    )
+    assert got == brute
+    assert sum(1 for a, b, h in got if b == a + 500 and h == 0) == 5
+
+
+def test_multiblock_sign_bit_and_bad_radius(spark):
+    from zcurve_spark.operators.dedup import hamming_pairs_multiblock
+
+    a = (1 << 63) | 0b1011
+    b = a ^ (1 << 62) ^ 1       # hamming 2
+    c = (1 << 40) - 1           # far away
+    rows = [(1, a - (1 << 64)), (2, b - (1 << 64)), (3, c)]
+    fps = spark.createDataFrame(rows, "id long, fp long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in hamming_pairs_multiblock(fps, bits=64, max_hamming=3).collect()
+    )
+    assert got == [(1, 2, 2)]
+    with pytest.raises(ValueError, match="use banded_hamming_pairs"):
+        hamming_pairs_multiblock(fps, bits=64, max_hamming=12)
+
+
+def test_scheme_auto_picks_multiblock_for_small_radius(spark):
+    """auto at r<=4 must route to multiblock (wide keys); the r=12
+    default stays on divisor banding."""
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    imgs = synth_image_table(ids, twin_mod=5, twin_offset=100)
+    p3 = phash_neardup_pairs(imgs, max_hamming=3)
+    plan3 = p3._jdf.queryExecution().optimizedPlan().toString()
+    assert "tbl" in plan3  # multiblock table column
+    p12 = phash_neardup_pairs(imgs, max_hamming=12)
+    plan12 = p12._jdf.queryExecution().optimizedPlan().toString()
+    assert "band" in plan12 and "tbl" not in plan12
+    # both find the planted twins
+    twins3 = {(r["a_id"], r["b_id"]) for r in p3.collect() if r["hamming"] == 0}
+    assert {(i, i + 100) for i in (0, 5)} <= twins3
+
+
 def test_full64_bit_fingerprints_band_correctly(spark):
     """Fingerprints with the sign bit set (>= 2^63, stored as negative
     longs) must band and verify identically — shiftrightunsigned is the

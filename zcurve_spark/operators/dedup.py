@@ -516,8 +516,118 @@ def banded_hamming_pairs(
     ).select("id", "sh", "bs.band", "bs.bb")
     a = bands.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"), "band", "bb")
     b = bands.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"), "band", "bb")
+    # shuffle_hash (not broadcast): both sides then shuffle on the SAME
+    # (band, bb) partitioning over the SAME subtree, so ReuseExchange
+    # computes the fingerprint relation ONCE.  With AQE's broadcast
+    # pick (small inputs) the build side re-executes the whole subtree
+    # — harmless for codegen SimHash, but a pHash/audio/video
+    # fingerprint subtree contains a Python decode stage that would run
+    # twice (measured on the 22k-image bench corpus: 2 MapInPandas
+    # nodes, 0 ReusedExchange; with the hint 1 live Python stage).
     cand = (
-        a.join(b, ["band", "bb"])
+        a.join(b.hint("shuffle_hash"), ["band", "bb"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def hamming_pairs_multiblock(
+    fps: DataFrame,
+    *,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+    id_col: str = "id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Exact hamming-radius pair search with WIDE candidate keys — the
+    web-scale form of :func:`banded_hamming_pairs`.
+
+    Divisor banding keys each of n_bands tables on bits/n_bands bits;
+    at radius 12 over 64 bits that is 16 tables of 4-BIT keys (256
+    distinct values), so every table degenerates into n/256-row buckets
+    and candidate generation goes quadratic regardless of corpus
+    content (measured: a 22k-image corpus produced ~2.4x10^8 candidate
+    pairs).  The fix, due to Manku/Jain/Das Sarma ("Detecting
+    Near-Duplicates for Web Crawling", WWW'07 — Google's production
+    simhash dedup), keys each table on a COMBINATION of b - r blocks
+    out of b: any pair within hamming r leaves >= b - r blocks
+    untouched, so at least one combination key matches exactly (recall
+    1.0, same pigeonhole), while the key is (b-r)/b * bits wide — e.g.
+    r=3, b=8 over 64 bits gives C(8,5) = 56 tables of 40-BIT keys,
+    selective at 10^12 rows.
+
+    The trade is explode factor (C(b, r) tables) vs key width, which is
+    why this scheme is for SMALL radii (r <= ~4, exactly Manku's
+    production setting k=3); large radii are information-theoretically
+    expensive in hamming space (|ball(12)| over 64 bits ~ 3x10^12) and
+    belong to the moderate-corpus divisor path.  Default n_blocks =
+    smallest b dividing bits with C(b, r) <= 64 tables.
+
+    Same join shape as banded_hamming_pairs: one shuffle equi-join on
+    (table, key) over one shared fingerprint subtree (shuffle_hash
+    hint -> ReuseExchange computes any embedded Python decode stage
+    once), bit_count verify on candidates only."""
+    import math as _math
+
+    r = max_hamming
+    if n_blocks is None:
+        # LARGEST viable b: key width = (b - r)/b * bits grows with b,
+        # so more blocks = wider (more selective) keys, bounded by the
+        # C(b, r) <= 64 table/explode budget
+        n_blocks = max(
+            (
+                b
+                for b in range(r + 1, bits + 1)
+                if bits % b == 0 and _math.comb(b, r) <= 64
+            ),
+            default=None,
+        )
+        if n_blocks is None:
+            raise ValueError(
+                f"no block count with <= 64 tables for radius {r} over {bits} bits; "
+                "use banded_hamming_pairs for large radii"
+            )
+    if bits % n_blocks or r >= n_blocks:
+        raise ValueError(f"need n_blocks | bits and max_hamming < n_blocks")
+    bw = bits // n_blocks
+    from itertools import combinations
+
+    keep = n_blocks - r
+    tables = list(combinations(range(n_blocks), keep))
+    s = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("sh"))
+
+    def key_for(blocks: tuple) -> F.Column:
+        k = F.lit(0).cast("long")
+        for bi in blocks:
+            blk = F.shiftrightunsigned(F.col("sh"), bi * bw).bitwiseAND(
+                F.lit((1 << bw) - 1)
+            )
+            k = F.shiftleft(k, bw).bitwiseOR(blk)
+        return k
+
+    keyed = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(ti).alias("tbl"), key_for(t).alias("key"))
+                    for ti, t in enumerate(tables)
+                ]
+            )
+        ).alias("tk"),
+    ).select("id", "sh", "tk.tbl", "tk.key")
+    a = keyed.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"), "tbl", "key")
+    b = keyed.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"), "tbl", "key")
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["tbl", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )

@@ -144,6 +144,7 @@ def synth_image_table(
     twin_offset: int = 30_000_000,
     width: int = 64,
     height: int = 48,
+    png_filter: int = 4,
 ) -> DataFrame:
     """(img_id, blob): one PNG-encoded ``synth_patch_pixels`` image per
     input id, plus — for ids divisible by ``twin_mod`` — a PIXEL-
@@ -151,7 +152,12 @@ def synth_image_table(
     hash to hamming 0 by construction (containers are lossless), which
     is what makes the planted-recall oracle exactly SQL-expressible
     (entry ``image_phash_dups``).  Distributed synthesis: encode runs in
-    the executors' Arrow batches, never in a driver loop."""
+    the executors' Arrow batches, never in a driver loop.
+
+    ``png_filter``: scanline filter for the PNG side — 4 (Paeth,
+    default) exercises the full codec in the oracle gate; the bench
+    corpus uses 0 (filter-0 decode is vectorized numpy, so the measured
+    row is hash+join, not the known per-byte Paeth loop)."""
     from ..sources.media import _bmp_encode, png_encode
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,7 +168,7 @@ def synth_image_table(
                 i = int(i)
                 pix = synth_patch_pixels(i, width=width, height=height)
                 img_ids.append(i)
-                blobs.append(png_encode(pix))
+                blobs.append(png_encode(pix, filter_type=png_filter))
                 if twin_mod is not None and i % twin_mod == 0:
                     img_ids.append(i + twin_offset)
                     blobs.append(_bmp_encode(pix))
@@ -214,14 +220,51 @@ def phash_neardup_pairs(
     blob_col: str = "blob",
     max_hamming: int = 12,
     n_bands: int | None = None,
+    scheme: str = "auto",
+    materialize_fps: bool = False,
 ) -> DataFrame:
     """All image pairs within pHash hamming distance <= max_hamming —
-    (a_id, b_id, hamming), recall 1.0 by the pigeonhole banding proof
-    (operators/dedup.py:simhash_bands_for, here over 64 bits: radius 12
-    -> 16 bands of 4 bits).  Decode+hash is the only Python stage; the
-    pair search is the identical banded equi-join the text SimHash path
-    ships, applied to a different fingerprint column."""
+    (a_id, b_id, hamming), recall 1.0 (pigeonhole, either scheme).
+    Decode+hash is the only Python stage; the pair search reuses the
+    text-dedup hamming join machinery on a different fingerprint
+    column.
+
+    ``scheme``: 'banded' = divisor banding (radius 12 -> 16 tables of
+    4-bit keys — fine for moderate corpora and the full JPEG-q50
+    robustness radius, but the narrow keys go quadratic on large
+    corpora); 'multiblock' = Manku block-combination keys (radius <= 4,
+    e.g. r=3 -> 56 tables of 40-bit keys — the 10^12-image
+    configuration; covers exact twins and resizes, hamming <= 2-4
+    measured, though not deep JPEG re-encodes); 'auto' picks multiblock
+    when the radius admits <= 64 tables, else banded.
+
+    ``materialize_fps``: persist() the (id, ph) relation so the Python
+    decode+hash stage runs ONCE — the self-join's two sides are
+    disambiguated subtrees that Spark's exchange reuse does not
+    collapse (2 live MapInPandas nodes, measured).  DEFAULT FALSE:
+    on local[32] the block manager serializes concurrent cached reads
+    (the repo's known anti-scaling gotcha) and the persist variant
+    measured 2.5-12x SLOWER end-to-end than simply decoding twice
+    (r3: 6s -> 16-21s; r12 banded: 28s -> 340s).  On a real cluster
+    with executor-local storage the persist is the right call for an
+    expensive decode — flip it there."""
     fps = image_phash(images, id_col=id_col, blob_col=blob_col)
+    if materialize_fps:
+        fps = fps.persist()
+    if scheme == "auto":
+        import math as _math
+
+        viable = any(
+            PHASH_BITS % b == 0 and _math.comb(b, max_hamming) <= 64
+            for b in range(max_hamming + 1, PHASH_BITS + 1)
+        )
+        scheme = "multiblock" if viable and n_bands is None else "banded"
+    if scheme == "multiblock":
+        from .dedup import hamming_pairs_multiblock
+
+        return hamming_pairs_multiblock(
+            fps, bits=PHASH_BITS, max_hamming=max_hamming, id_col="id", fp_col="ph"
+        )
     return banded_hamming_pairs(
         fps,
         bits=PHASH_BITS,

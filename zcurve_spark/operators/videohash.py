@@ -120,6 +120,10 @@ def video_match_join(
     cfp = explode_bands(
         video_phash_frames(corpus, id_col=id_col, blob_col=blob_col), "c"
     )
+    # (snippet and corpus fingerprints are DIFFERENT subtrees — each
+    # Python stage runs once regardless of join strategy, and AQE's
+    # broadcast of the small snippet side streams the corpus without a
+    # shuffle, which is the right 10^9-video plan)
     cand = (
         sfp.join(cfp, ["band", "bb"])
         .filter(
