@@ -1370,6 +1370,25 @@ def q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("pid", "x", "y", hilbert2_udf(20)(F.col("x"), F.col("y")).alias("hkey"))
 
 
+def q_s2_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span counts per REAL S2 cell (level 8) over the interleaved docs.
+
+    rows-only: S2 cell ids (published cube-face + quadratic-ST +
+    Hilbert scheme, functions/s2.py) are not SQL-expressible in DuckDB;
+    the scheme itself is invariant-tested in tests/test_s2.py and the
+    Spark column surface is compared bit-for-bit against the numpy twin
+    there."""
+    from .functions.s2 import s2_cell_col
+    from .sources.interleaved import explode_spans, interleaved_docs, with_span_geo
+
+    spans = with_span_geo(explode_spans(interleaved_docs(spark, sf_dir)))
+    return (
+        spans.groupBy(s2_cell_col("lon", "lat", level=8).alias("cell"))
+        .agg(F.count("*").alias("n_spans"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("cell")
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_lsh_pairs(docs, verify_min_jaccard_milli=100).select(
@@ -2606,6 +2625,7 @@ def build_queries():
         "bbox_rows_3d_tidonly": q_bbox_rows_3d_tidonly,
         "raster_assign_pruned": q_raster_assign_pruned,
         # rows-only (non-SQL-expressible or engine-specific hashes)
+        "s2_tile_counts": q_s2_tile_counts,
         "hilbert_encode": q_hilbert_encode,
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
