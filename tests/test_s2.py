@@ -183,3 +183,58 @@ def test_spark_s2_containment_join(spark):
         expect = spans.filter(F.col("cell6") == int(ids.view(np.int64)[k]))
         assert got.count() == expect.count()
         assert got.exceptAll(expect).count() == 0
+
+
+def test_cover_rect_superset():
+    """Every cell containing a point of the rect is in the cover, for
+    rects probing the hard cases: antimeridian-adjacent, near-pole,
+    face-corner, face-center."""
+    rng = np.random.default_rng(11)
+    rects = [
+        (10.0, 40.0, 20.0, 45.0),
+        (170.0, 179.9, 60.0, 89.0),
+        (-30.0, 30.0, 80.0, 89.9),
+        (-1.0, 1.0, -1.0, 1.0),
+        (44.0, 46.0, 34.0, 36.0),
+    ]
+    for level in (4, 8):
+        for a, b, c, d in rects:
+            cover = set(s2.s2_cover_rect(a, b, c, d, level).tolist())
+            lon = rng.uniform(a, b, 20000)
+            lat = rng.uniform(c, d, 20000)
+            cells = set(
+                np.unique(s2.s2_parent(s2.s2_cellid(lon, lat), level)).tolist()
+            )
+            assert cells <= cover, (level, a, b, c, d)
+            # and it actually prunes: far fewer cells than the sphere's
+            # 6*4^level total
+            assert len(cover) < 6 * 4**level / 4
+
+
+def test_spark_bbox_rows_s2_equals_plain_predicate(spark):
+    """The cover pre-filter + refine returns exactly the rows of the
+    plain lon/lat predicate (superset property end-to-end in Spark)."""
+    from zcurve_spark.entry_queries import S2_BOX, q_bbox_rows_s2
+    from zcurve_spark.sources.interleaved import (
+        explode_spans,
+        interleaved_docs,
+        with_span_geo,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {tuple(r) for r in q_bbox_rows_s2(spark, SF_DIR).collect()}
+    lon_lo, lon_hi, lat_lo, lat_hi = S2_BOX
+    spans = with_span_geo(explode_spans(interleaved_docs(spark, SF_DIR)))
+    want = {
+        tuple(r)
+        for r in spans.filter(
+            (F.col("lon") >= lon_lo)
+            & (F.col("lon") <= lon_hi)
+            & (F.col("lat") >= lat_lo)
+            & (F.col("lat") <= lat_hi)
+        )
+        .select("doc_id", "span_idx", "lon", "lat")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -268,6 +268,113 @@ def s2_cell_center_lonlat(cid: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Rectangle covering (the S2 analog of LITMAX/BIGMIN box decomposition:
+# turn a lon/lat query box into a set of cells, reference zcurve.c's
+# 2D lookup semantics — the cover is the pre-filter, an exact
+# coordinate refine keeps the result identical to the plain predicate)
+# ---------------------------------------------------------------------------
+
+# Angular diameter bound for a level-l cell, radians.  Each cell edge is
+# the spherical image of a uv-segment of length <= max|du/ds| * 2^-l =
+# (8/3) * 2^-l (quadratic ST transform), and central projection from the
+# z=1 tangent plane to the unit sphere is 1-Lipschitz (|d(p/|p|)| <=
+# |dp| / |p| <= |dp| for |p| >= 1), so any two cell points are within
+# two edge-bounds of each other along the uv box: diam <= (16/3) * 2^-l.
+# Loose at coarse levels (where it exceeds pi and the test keeps
+# everything — harmless) and ~3.4x the true diagonal at fine levels,
+# which only makes the cover slightly fatter, never incomplete.
+_DIAM_RAD = 16.0 / 3.0
+
+
+def _cells_may_intersect(
+    face: np.ndarray,
+    i: np.ndarray,
+    j: np.ndarray,
+    lvl: int,
+    lon_lo: float,
+    lon_hi: float,
+    lat_lo: float,
+    lat_hi: float,
+) -> np.ndarray:
+    """Conservative test: False only if the cell PROVABLY misses the
+    rect.  Vertex lat/lon box expanded by the level's diameter bound;
+    longitude expansion is latitude-aware and degrades to full-circle
+    near the poles or when the (possibly antimeridian-crossing) vertex
+    span is ambiguous."""
+    size = _U(1) << _U(MAX_LEVEL - lvl)
+    diam = np.degrees(_DIAM_RAD * 2.0 ** (-lvl))
+    scale = 1.0 / float(1 << MAX_LEVEL)
+    vlat = []
+    vlon = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            s = (i + di * size).astype(np.float64) * scale
+            t = (j + dj * size).astype(np.float64) * scale
+            x, y, z = _xyz_from_face_uv(face, st_to_uv(s), st_to_uv(t))
+            n = np.sqrt(x * x + y * y + z * z)
+            vlat.append(np.degrees(np.arcsin(np.clip(z / n, -1.0, 1.0))))
+            vlon.append(np.degrees(np.arctan2(y, x)))
+    vlat = np.stack(vlat)
+    vlon = np.stack(vlon)
+    cell_lat_lo = vlat.min(axis=0) - diam
+    cell_lat_hi = vlat.max(axis=0) + diam
+    lat_ok = (cell_lat_hi >= lat_lo) & (cell_lat_lo <= lat_hi)
+
+    # longitude: full-circle whenever the expanded cell nears a pole or
+    # its vertex span exceeds 180 deg (antimeridian-crossing or pole-
+    # enclosing cells — conservative, never wrong)
+    near_pole = (cell_lat_hi >= 90.0 - diam) | (cell_lat_lo <= -90.0 + diam)
+    lon_min = vlon.min(axis=0)
+    lon_max = vlon.max(axis=0)
+    wide = (lon_max - lon_min) > 180.0
+    # lat closest to a pole inside the expanded box bounds the lon
+    # stretch factor 1/cos(lat)
+    worst = np.minimum(
+        np.maximum(np.abs(cell_lat_lo), np.abs(cell_lat_hi)), 89.999
+    )
+    ex = diam / np.cos(np.radians(worst))
+    plain = (lon_max + ex >= lon_lo) & (lon_min - ex <= lon_hi)
+    lon_ok = near_pole | wide | (ex >= 180.0) | plain
+    return lat_ok & lon_ok
+
+
+def s2_cover_rect(
+    lon_lo: float,
+    lon_hi: float,
+    lat_lo: float,
+    lat_hi: float,
+    level: int,
+) -> np.ndarray:
+    """Cell ids (uint64) of a conservative level-`level` cover of the
+    lon/lat rectangle: a provable SUPERSET of every cell containing a
+    point of the rect (-180 <= lon_lo < lon_hi <= 180, no wrap).
+
+    Hierarchical descent from the six face cells, pruning children that
+    provably miss the rect (_cells_may_intersect).  Driver-side numpy —
+    frontier is at most ~4x the true cover size per level."""
+    if not (lon_lo < lon_hi and lat_lo < lat_hi):
+        raise ValueError("empty rect")
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    face = np.arange(6, dtype=np.uint64)
+    i = np.zeros(6, dtype=np.uint64)
+    j = np.zeros(6, dtype=np.uint64)
+    for lvl in range(0, level + 1):
+        keep = _cells_may_intersect(face, i, j, lvl, lon_lo, lon_hi, lat_lo, lat_hi)
+        face, i, j = face[keep], i[keep], j[keep]
+        if lvl == level:
+            break
+        half = _U(1) << _U(MAX_LEVEL - lvl - 1)
+        face = np.repeat(face, 4)
+        i = np.repeat(i, 4) + np.tile(np.array([0, 0, 1, 1], dtype=np.uint64), keep.sum()) * half
+        j = np.repeat(j, 4) + np.tile(np.array([0, 1, 0, 1], dtype=np.uint64), keep.sum()) * half
+    if face.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    leaf = (face << _U(61)) | (_pos_from_ij(face, i, j) << _U(1)) | _U(1)
+    return np.unique(s2_parent(leaf, level))
+
+
+# ---------------------------------------------------------------------------
 # Spark surface (Arrow-batched; ids exposed as two's-complement long)
 # ---------------------------------------------------------------------------
 
