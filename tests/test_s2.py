@@ -238,3 +238,33 @@ def test_spark_bbox_rows_s2_equals_plain_predicate(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_spark_bbox_rows_s2_pruned_store(spark):
+    """Store-backed S2 box query: equals the unpruned S2 query (and so
+    the plain predicate), and the cover's merged interval runs actually
+    SKIP manifest files."""
+    from zcurve_spark.entry_queries import (
+        S2_BOX,
+        S2_COVER_LEVEL,
+        q_bbox_rows_s2,
+        q_bbox_rows_s2_pruned,
+    )
+    from zcurve_spark.sources.manifest import load_manifest, prune_files
+    from zcurve_spark.sources.store import s2_spans_store
+    from tests.conftest import SF_DIR
+
+    got = {tuple(r) for r in q_bbox_rows_s2_pruned(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in q_bbox_rows_s2(spark, SF_DIR).collect()}
+    assert got == want
+    assert len(got) > 0
+
+    path = s2_spans_store(spark, SF_DIR)
+    manifest = load_manifest(path)
+    ivs = s2.s2_cover_intervals(*S2_BOX, S2_COVER_LEVEL)
+    names = prune_files(manifest, [(int(a), int(b)) for a, b in ivs])
+    assert 0 < len(names) < len(manifest["files"])
+    # the merged runs are sorted, non-overlapping, and far fewer than
+    # the raw cover cells (Hilbert locality)
+    assert (ivs[1:, 0] > ivs[:-1, 1]).all()
+    assert len(ivs) * 10 < len(s2.s2_cover_rect(*S2_BOX, S2_COVER_LEVEL))

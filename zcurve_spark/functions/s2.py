@@ -374,6 +374,36 @@ def s2_cover_rect(
     return np.unique(s2_parent(leaf, level))
 
 
+def s2_cover_intervals(
+    lon_lo: float,
+    lon_hi: float,
+    lat_lo: float,
+    lat_hi: float,
+    level: int,
+) -> np.ndarray:
+    """Merged signed-long LEAF-id intervals of the rect's cell cover —
+    the S2 analog of the LITMAX/BIGMIN interval list (the reference's
+    box -> monotone key ranges, zcurve.c:123-140).  Hilbert locality
+    collapses a connected rect's cover into few runs: consecutive
+    same-level cells are exactly one leaf-id step (2) apart, so e.g.
+    the 75k-cell level-8 cover of a 90x90-degree box merges to ~400
+    runs.  Returns an (n, 2) int64 array of [lo, hi] leaf-id ranges,
+    sorted, non-overlapping — directly usable against a store manifest's
+    per-file key min/max (B-tree-descent analog) and as pushed BETWEEN
+    row-group filters."""
+    cover = s2_cover_rect(lon_lo, lon_hi, lat_lo, lat_hi, level)
+    if cover.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    lo = s2_range_min(cover).view(np.int64)
+    hi = s2_range_max(cover).view(np.int64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    breaks = np.nonzero(lo[1:] > hi[:-1] + 2)[0] + 1
+    starts = np.concatenate([[0], breaks])
+    ends = np.concatenate([breaks, [len(lo)]])
+    return np.stack([lo[starts], hi[ends - 1]], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface (Arrow-batched; ids exposed as two's-complement long)
 # ---------------------------------------------------------------------------

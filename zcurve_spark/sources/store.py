@@ -141,6 +141,42 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def s2_spans_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_partitions: int = 32,
+) -> str:
+    """Materialize (or resume) the S2-LEAF-sorted interleaved-span
+    layout — extends the curve x storage matrix (z2/z3/hilbert2/
+    hilbert3) to the spherical index: every span of the interleaved
+    documents stored with its leaf S2 cell id (signed long, the
+    BigQuery convention) as the physical sort key, manifest per-file
+    [key_min, key_max], so rect covers prune FILES exactly like
+    zkey/hkey interval lists do (sp_tree.c:266-354 descent analog).
+    Faces 4-5 sort before 0-3 in signed order — a consistent total
+    order shared by the manifest stats, the cover intervals, and the
+    pushed BETWEEN filters, so containment stays exact."""
+    from pyspark.sql import functions as F
+
+    from ..functions.s2 import s2_cell_udf
+    from .interleaved import explode_spans, interleaved_docs, with_span_geo
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sr = StageRunner(spark, os.path.join(work_root(), tag))
+    fp = _input_fingerprint(sf_dir, "documents", curve="s2", n_partitions=n_partitions)
+    sr.run(
+        "spans_s2sorted",
+        fp,
+        lambda: with_span_geo(explode_spans(interleaved_docs(spark, sf_dir)))
+        .select("doc_id", "span_idx", "lon", "lat")
+        .withColumn("s2key", s2_cell_udf()(F.col("lon"), F.col("lat"))),
+        zkey_col="s2key",
+        n_partitions=n_partitions,
+    )
+    return sr.stage_path("spans_s2sorted")
+
+
 def table_store(
     spark: SparkSession,
     sf_dir: str,
