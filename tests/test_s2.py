@@ -268,3 +268,38 @@ def test_spark_bbox_rows_s2_pruned_store(spark):
     # the raw cover cells (Hilbert locality)
     assert (ivs[1:, 0] > ivs[:-1, 1]).all()
     assert len(ivs) * 10 < len(s2.s2_cover_rect(*S2_BOX, S2_COVER_LEVEL))
+
+
+def test_s2_query_plans(spark):
+    """Plan shape at scale: the cover joins as a broadcast SEMI join
+    (never a nested loop / IN-literal blowup), and the store path
+    pushes the sort-key BETWEEN plus both coordinate bounds all the
+    way into the parquet scan (row-group pruning)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from zcurve_spark.entry_queries import q_bbox_rows_s2, q_bbox_rows_s2_pruned
+    from tests.conftest import SF_DIR
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_bbox_rows_s2(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin LeftSemi" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_bbox_rows_s2_pruned(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan[:2000]
+    line = pushed[0]
+    for frag in (
+        "GreaterThanOrEqual(s2key,",
+        "LessThanOrEqual(s2key,",
+        "GreaterThanOrEqual(lon,0.0)",
+        "LessThanOrEqual(lat,45.0)",
+    ):
+        assert frag in line, line
