@@ -303,3 +303,45 @@ def test_s2_query_plans(spark):
         "LessThanOrEqual(lat,45.0)",
     ):
         assert frag in line, line
+
+
+def test_block_lut_walk_matches_per_level_steps():
+    """r6 optimization guard: the 4-level block-LUT Hilbert walk (and its
+    early-stop level-L prefix form) must be bit-identical to the original
+    per-level orientation walk."""
+    import numpy as np
+
+    from zcurve_spark.functions.s2 import (
+        MAX_LEVEL,
+        _face_uv_from_xyz,
+        _pos_from_ij,
+        _pos_from_ij_steps,
+        _st_to_ij,
+        _xyz_from_lonlat,
+        s2_cellid,
+        s2_parent,
+        uv_to_st,
+    )
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180.0, 180.0, 20000)
+    lat = rng.uniform(-90.0, 90.0, 20000)
+    x, y, z = _xyz_from_lonlat(lon, lat)
+    face, u, v = _face_uv_from_xyz(x, y, z)
+    i = _st_to_ij(uv_to_st(u))
+    j = _st_to_ij(uv_to_st(v))
+    assert np.array_equal(_pos_from_ij(face, i, j), _pos_from_ij_steps(face, i, j))
+    # early-stop prefix == full walk >> 2*(30-L), and the assembled
+    # parent id == s2_parent(leaf, L)
+    leaf = s2_cellid(lon, lat)
+    full = _pos_from_ij_steps(face, i, j)
+    for L in (0, 1, 2, 5, 8, 13, 29):
+        pref = _pos_from_ij(face, i, j, level=L)
+        assert np.array_equal(pref, full >> np.uint64(2 * (MAX_LEVEL - L)))
+        shift = np.uint64(2 * (MAX_LEVEL - L))
+        cid = (
+            (np.asarray(face, dtype=np.uint64) << np.uint64(61))
+            | (pref << (shift + np.uint64(1)))
+            | (np.uint64(1) << shift)
+        )
+        assert np.array_equal(cid, s2_parent(leaf, L))

@@ -299,17 +299,16 @@ def minhash_lsh_pairs(
     # from the band side, `cand` has exactly ONE consumer (the verify
     # join) and nothing is persisted: every relation in the plan is
     # linear except the join outputs themselves.  Default is False
-    # (fully lazy plan, zero jobs at call time): the semi-join pays ~2
-    # extra band-relation passes to shrink the verify-join gram shuffle
+    # (fully lazy plan, zero jobs at call time): the semi-join pays one
+    # extra band-relation pass to shrink the verify-join gram shuffle
     # from |corpus| to |candidate| rows, which is profitable only once
     # the corpus gram shuffle dominates — measured 2x SLOWER at 5k docs
     # but the 8->32-core scaling win at 2.5M docs (bench_scaling passes
-    # True).  True forces it; None picks by a cheap bucket-size
-    # aggregate bounding the broadcastable id count.  Both True and None
-    # run that one eager aggregate: ADVICE r4 — a forced-True caller on
-    # a high-collision corpus must NOT broadcast an unbounded id set, so
-    # the same ids_ub <= 4M guard applies and the call degrades to the
-    # plain corpus-wide joins above the bound.
+    # True).  True forces it; None auto-selects.  Both True and None
+    # run one eager id-collection job (bounded — ADVICE r4: a
+    # forced-True caller on a high-collision corpus must NOT broadcast
+    # an unbounded id set, so above 4M collected ids the call degrades
+    # to the plain corpus-wide joins).
     a = bands.select(F.col("id").alias("a_id"), "band", "bh")
     b = bands.select(F.col("id").alias("b_id"), "band", "bh")
     cand = (
@@ -321,22 +320,24 @@ def minhash_lsh_pairs(
     if verify_min_jaccard_milli is None:
         return cand.select("a_id", "b_id")
     use_semi = verify_semijoin
+    ids_local = None
     if use_semi is None or use_semi:
-        # sum of duplicate-bucket sizes upper-bounds |candidate ids|
-        est = (
-            bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("m"))
-            .filter(F.col("m") >= 2)
-            .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("ids_ub"))
-            .first()[0]
-        )
-        use_semi = est <= 4_000_000  # upper bound on broadcastable id rows
-    if use_semi:
-        # duplicate buckets -> member ids, all from the linear band
-        # relation (the sig_rel shuffle under bands/a/b/dup_buckets is
-        # one identical exchange — ReuseExchange computes it once per
-        # query: the executed adaptive plan on sf0.01 shows 3
-        # ReusedExchange nodes collapsing the duplicate band sub-plans)
+        # ONE pass derives the candidate-member id set AND the
+        # broadcastability decision (r6 rework, guide §2.4/§5): the
+        # previous shape ran a full signature pass just for a size
+        # ESTIMATE, then re-ran the whole band pipeline inside the
+        # broadcast subquery of the final query — broadcast exchanges
+        # materialize before the main query stages, so the shuffle
+        # under them was NOT reused (measured at 64x: the est + subquery
+        # machinery was ~8s of a 13.9s pairs job; the same job with the
+        # id set collected once runs the signature pipeline twice total:
+        # this ids pass + the shared band exchange of the final query).
+        # Candidate ids come from duplicate buckets of the linear band
+        # relation, bounded-collected (4M rows + 1 sentinel) through
+        # Arrow, and re-broadcast as a LOCAL relation with no subtree to
+        # recompute.  More ids than the bound -> degrade to the plain
+        # corpus-wide verify joins (the ADVICE r4 guard, now on the
+        # exact id count instead of the bucket-size upper bound).
         dup_buckets = (
             bands.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("m"))
@@ -348,15 +349,20 @@ def minhash_lsh_pairs(
             .select("id")
             .distinct()
         )
+        ids_pdf = ids.limit(4_000_001).toPandas()
+        use_semi = len(ids_pdf) <= 4_000_000
+        if use_semi:
+            ids_local = docs.sparkSession.createDataFrame(ids_pdf, "id long")
+    if use_semi:
         if checkpoint is not None:
             # stage-backed grams: prune the parquet read by id
-            gm = gm.join(F.broadcast(ids), "id", "leftsemi")
+            gm = gm.join(F.broadcast(ids_local), "id", "leftsemi")
         else:
             # prune docs BEFORE the shingling UDF runs — an explicit
             # semi-join below the Arrow projection, not a filter above
             # it that Catalyst may or may not push through the UDF
             gm = fan_out(docs).select(F.col(id_col).alias("id"), text_col).join(
-                F.broadcast(ids), "id", "leftsemi"
+                F.broadcast(ids_local), "id", "leftsemi"
             ).select("id", distinct_ngrams_arrow(text_col, n).alias("grams"))
     cand = (
         cand.join(gm.withColumnRenamed("id", "a_id").withColumnRenamed("grams", "ga"), "a_id")

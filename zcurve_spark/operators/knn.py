@@ -281,11 +281,14 @@ def knn_batch(
                 .filter((F.col("n") >= F.col("_k")) & (F.col("dmax") <= F.lit(r * r)))
                 .select("qid")
             )
+        # done parts derive from the CHECKPOINTED topk by one cheap
+        # join — materializing them too cost one eager job per round
+        # for k rows per query (r6; same results, one fewer job per
+        # round).  pending stays checkpointed: it feeds several
+        # consumers next round (boxes, the decompose sample, the join).
         done_parts.append(
-            ckpt(
-                topk.join(covered, "qid", "leftsemi")
-                .select("qid", "rank", "pid", "x", "y", "d2")
-            )
+            topk.join(covered, "qid", "leftsemi")
+            .select("qid", "rank", "pid", "x", "y", "d2")
         )
         pending = ckpt(pending.join(covered, "qid", "leftanti"))
         n_pending = pending.count()
@@ -385,17 +388,15 @@ def knn_geo_batch(
                 .filter(F.col("n") >= k)
                 .select("qid")
             )
+        # as in knn_batch (r6): done parts are one cheap join away
+        # from the checkpointed topk — not materialized
         done_parts.append(
-            ckpt(
-                topk.join(covered, "qid", "leftsemi")
-                .select("qid", "rank", F.col("out_pid").alias("pid"))
-            )
+            topk.join(covered, "qid", "leftsemi")
+            .select("qid", "rank", F.col("out_pid").alias("pid"))
         )
-        pending = ckpt(
-            pending.join(
-                covered.select(F.col("qid").alias("pid")), "pid", "leftanti"
-            )
-        )
+        pending = ckpt(pending.join(
+            covered.select(F.col("qid").alias("pid")), "pid", "leftanti"
+        ))
         n_pending = pending.count()
         r = min(r * 4.0, r_cap)
     return reduce(DataFrame.unionByName, done_parts)

@@ -212,33 +212,43 @@ def pip_join(
             out[ii] = _pip_kernel(px[ii], py[ii], verts)
         return pd.Series(out)
 
-    # cover carries only (tile, poly, solid): interior-tile candidates —
-    # the bulk at scale — never materialize the edges array (measured:
-    # copying edges into every candidate row caused GC-bound anti-scaling
-    # at 512M points).  Boundary candidates join the tiny per-polygon
-    # edge relation separately.
-    cover_schema = "tile_id long, poly_id long, solid boolean"
-    edges_df = spark.createDataFrame(
-        [(int(p["poly_id"]), _edges_rows(p)) for p in polygons],
-        "poly_id long, edges array<struct<ex:long,ey:long,fx:long,fy:long>>",
+    # ONE scan + ONE broadcast join per level (r6: the previous
+    # interior/boundary union scanned the points side twice — union
+    # branches share no subtree, so at 600k bench rows the plan held
+    # two full scans + two broadcast joins).  The cover relation carries
+    # the edges array ONLY on boundary-tile rows (null for interior), so
+    # interior candidates — the bulk at scale — still never materialize
+    # an edges array (the r3-measured GC trap of copying edges into
+    # every candidate row): the refine filter reads the build-side null
+    # and short-circuits on `solid` inside the same codegen stage, and
+    # the edges column is dropped before anything downstream.
+    cover_schema = (
+        "tile_id long, poly_id long, solid boolean, "
+        "edges array<struct<ex:long,ey:long,fx:long,fy:long>>"
     )
     result = None
     for level, rows in sorted(by_level.items()):
-        cover = spark.createDataFrame([(t, pid, s) for t, pid, _e, s in rows], cover_schema)
+        cover = spark.createDataFrame(
+            [(t, pid, s, e if not s else None) for t, pid, e, s in rows],
+            cover_schema,
+        )
         cand = points.withColumn(
             "_tile", tile_id_col(zkey_col, level, bits=bits)
         ).join(F.broadcast(cover), F.col("_tile") == F.col("tile_id"), "inner")
-        interior = cand.filter(F.col("solid")).drop("_tile", "tile_id", "solid")
-        boundary = cand.filter(~F.col("solid")).drop("_tile", "tile_id", "solid")
         if method == "expr":
-            boundary = (
-                boundary.join(F.broadcast(edges_df), "poly_id")
-                .filter(pip_refine_expr("x", "y", F.col("edges")))
-                .drop("edges")
-            )
+            keep = F.col("solid") | pip_refine_expr("x", "y", F.col("edges"))
+            hits = cand.filter(keep).drop("_tile", "tile_id", "solid", "edges")
         else:
-            boundary = boundary.filter(pip_udf(F.col("poly_id"), F.col("x"), F.col("y")))
-        hits = interior.unionByName(boundary.select(*interior.columns))
+            # reference/cross-check path: keep the two-branch shape so the
+            # Python kernel only ever sees boundary rows (a single filter
+            # `solid | udf` would BatchEvalPython every interior row)
+            interior = cand.filter(F.col("solid"))
+            boundary = cand.filter(~F.col("solid")).filter(
+                pip_udf(F.col("poly_id"), F.col("x"), F.col("y"))
+            )
+            hits = interior.unionByName(boundary).drop(
+                "_tile", "tile_id", "solid", "edges"
+            )
         result = hits if result is None else result.unionByName(hits)
     return result
 

@@ -285,10 +285,20 @@ def ivf_seeds(
     )
     seeds = [list(r["q"]) for r in rows]
     for _ in range(max(0, lloyd_iters)):
+        # posexplode the RAW vector and quantize the scalar element with
+        # a codegen floor (r6): posexplode(quantized(vec)) evaluated the
+        # interpreted transform() HOF per row; floor(double*100) on the
+        # exploded element is the same IEEE arithmetic (pytest-identical
+        # seeds) inside whole-stage codegen.
         stats = (
             emb.select(
                 ivf_cell_udf(vec_col, seeds).alias("cell"),
-                F.posexplode(quantized(vec_col)).alias("pos", "q"),
+                F.posexplode(F.col(vec_col)).alias("pos", "v"),
+            )
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("v") * F.lit(float(QUANT))).cast("long").alias("q"),
             )
             .groupBy("cell", "pos")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -489,18 +499,37 @@ def ivf_topk_batch(
             )
         else:
             seeds = ivf_seeds(emb, n_cells, id_col=id_col, vec_col=vec_col)
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        quantized(vec_col).alias("cvec"),
-        ivf_cell_udf(vec_col, seeds).alias("cell"),
-    )
-    qv = emb.join(
-        queries.select(F.col("qid")), F.col(id_col) == F.col("qid"), "inner"
-    ).select(
-        "qid",
-        quantized(vec_col).alias("qvec"),
-        ivf_probe_udf(vec_col, seeds, nprobe).alias("probes"),
-    )
+    # The cogroup path ships RAW float vectors and quantizes inside the
+    # numpy kernel (r6): `quantized` is an interpreted transform() HOF
+    # per row, and the long arrays it yields are 2x the shuffle bytes of
+    # the float32 originals — floor(float64(x) * 100) in the kernel is
+    # the identical arithmetic (ivf_cell_udf precedent; pytest-checked
+    # identical results).  The broadcast path still wants quantized
+    # Columns for the JVM-side dot_q.
+    vec_raw = F.col(vec_col)
+    cell_col = ivf_cell_udf(vec_col, seeds).alias("cell")
+    if broadcast_queries:
+        corpus = emb.select(
+            F.col(id_col).alias("vec_id"), quantized(vec_col).alias("cvec"), cell_col
+        )
+        qv = emb.join(
+            queries.select(F.col("qid")), F.col(id_col) == F.col("qid"), "inner"
+        ).select(
+            "qid",
+            quantized(vec_col).alias("qvec"),
+            ivf_probe_udf(vec_col, seeds, nprobe).alias("probes"),
+        )
+    else:
+        corpus = emb.select(
+            F.col(id_col).alias("vec_id"), vec_raw.alias("cvec"), cell_col
+        )
+        qv = emb.join(
+            queries.select(F.col("qid")), F.col(id_col) == F.col("qid"), "inner"
+        ).select(
+            "qid",
+            vec_raw.alias("qvec"),
+            ivf_probe_udf(vec_col, seeds, nprobe).alias("probes"),
+        )
     probes = qv.select("qid", "qvec", F.explode("probes").alias("cell"))
     if broadcast_queries:
         # small query batches: broadcast the probe relation; the per-pair
@@ -530,7 +559,11 @@ def ivf_topk_batch(
             return pd.DataFrame({"qid": [], "vec_id": [], "dot": []}).astype(
                 {"qid": "int64", "vec_id": "int64", "dot": "int64"}
             )
-        C = np.stack([np.asarray(v, dtype=np.int64) for v in cdf["cvec"]])
+        # raw float vectors in; quantize exactly like `quantized`
+        C = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in cdf["cvec"]])
+            * float(QUANT)
+        ).astype(np.int64)
         cids = cdf["vec_id"].to_numpy(np.int64)
         out_q, out_v, out_d = [], [], []
         kk = min(k, C.shape[0])
@@ -543,7 +576,10 @@ def ivf_topk_batch(
         # are bit-identical to the unchunked form.
         for s in range(0, len(qdf), max(1, q_chunk)):
             qblk = qdf.iloc[s : s + max(1, q_chunk)]
-            Q = np.stack([np.asarray(v, dtype=np.int64) for v in qblk["qvec"]])
+            Q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in qblk["qvec"]])
+                * float(QUANT)
+            ).astype(np.int64)
             qids = qblk["qid"].to_numpy(np.int64)
             D = Q @ C.T  # (chunk, n_cell) exact integer dots
             for i in range(D.shape[0]):

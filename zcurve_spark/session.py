@@ -33,6 +33,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (guide §3.1): let the planner pick a shuffled
+        # HASH join when the per-partition build side fits instead of
+        # always sort-merge — our hot joins (band/tile/bucket equi-joins)
+        # gain nothing from sorted output, and the sort of both shuffle
+        # sides was pure overhead.  The planner's size guards (and AQE's
+        # local-map threshold below) keep the OOM-risk shape on
+        # sort-merge; this is the cluster-correct setting, not a local
+        # tweak (same guard Spark uses at any executor count).
+        .config("spark.sql.join.preferSortMergeJoin", os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
