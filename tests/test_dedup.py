@@ -298,3 +298,4 @@ class TestConnectedComponents:
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, max_iter=2)
+

@@ -267,22 +267,28 @@ def minhash_lsh_pairs(
         )
     # band relation carries only (id, band, bh): the gram arrays would
     # otherwise be replicated n_bands times through the shuffle
-    bands = sig_rel.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bidx).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", bidx * rows + r + 1) for r in range(rows)]
-                        ).alias("bh"),
-                    )
-                    for bidx in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.bh")
+    def bands_of(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bidx).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", bidx * rows + r + 1)
+                                    for r in range(rows)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for bidx in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("id", "bs.band", "bs.bh")
+
+    bands = bands_of(sig_rel)
     # Verification shuffle hygiene (active when verify is on and
     # verify_semijoin is not False): the gram relation is corpus-sized
     # (every doc x its shingle array), but only CANDIDATE docs need their
@@ -309,16 +315,18 @@ def minhash_lsh_pairs(
     # forced-True caller on a high-collision corpus must NOT broadcast
     # an unbounded id set, so above 4M collected ids the call degrades
     # to the plain corpus-wide joins).
-    a = bands.select(F.col("id").alias("a_id"), "band", "bh")
-    b = bands.select(F.col("id").alias("b_id"), "band", "bh")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    def pairs_from(band_rel: DataFrame) -> DataFrame:
+        a = band_rel.select(F.col("id").alias("a_id"), "band", "bh")
+        b = band_rel.select(F.col("id").alias("b_id"), "band", "bh")
+        return (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+
     if verify_min_jaccard_milli is None:
-        return cand.select("a_id", "b_id")
+        return pairs_from(bands).select("a_id", "b_id")
     use_semi = verify_semijoin
     ids_local = None
     if use_semi is None or use_semi:
@@ -354,16 +362,46 @@ def minhash_lsh_pairs(
         if use_semi:
             ids_local = docs.sparkSession.createDataFrame(ids_pdf, "id long")
     if use_semi:
+        # The pair join itself can run over CANDIDATE-restricted
+        # signatures (r6): every member of a >= 2-doc bucket is in
+        # `ids`, so restricting the band relation to ids removes no
+        # pair and adds none — the final query's only corpus-sized
+        # stage disappears (the full signature pipeline runs exactly
+        # once, in the ids pass above; at 64x the verify query dropped
+        # from corpus-sized sig + joins to candidate-sized everything).
         if checkpoint is not None:
-            # stage-backed grams: prune the parquet read by id
+            # stage-backed: the parquet-read bands/grams semi-join cheaply
+            pair_bands = bands.join(F.broadcast(ids_local), "id", "leftsemi")
             gm = gm.join(F.broadcast(ids_local), "id", "leftsemi")
         else:
             # prune docs BEFORE the shingling UDF runs — an explicit
             # semi-join below the Arrow projection, not a filter above
-            # it that Catalyst may or may not push through the UDF
-            gm = fan_out(docs).select(F.col(id_col).alias("id"), text_col).join(
-                F.broadcast(ids_local), "id", "leftsemi"
-            ).select("id", distinct_ngrams_arrow(text_col, n).alias("grams"))
+            # it that Catalyst may or may not push through the UDF.
+            # The candidate gram relation is localCheckpointed: it feeds
+            # THREE subtrees (signatures for the pair join + both verify
+            # sides), each of which would otherwise scan the corpus and
+            # re-run the shingle UDF; its size is bounded by the 4M-id
+            # guard above, so the materialization is candidate-sized,
+            # never corpus-sized (the r5 no-persist rule was about
+            # corpus-sized relations under the 32-thread block manager).
+            cand_gm = (
+                fan_out(docs)
+                .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+                .join(F.broadcast(ids_local), "id", "leftsemi")
+                .select("id", distinct_ngrams_arrow("_t", n).alias("grams"))
+                .localCheckpoint()
+            )
+            ex_c = cand_gm.select(
+                "id", F.explode("grams").alias("gram")
+            ).withColumn("h", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE)))
+            sig_c = ex_c.groupBy("id").agg(*_min_aggs()).select(
+                "id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig")
+            )
+            pair_bands = bands_of(sig_c)
+            gm = cand_gm
+    else:
+        pair_bands = bands
+    cand = pairs_from(pair_bands)
     cand = (
         cand.join(gm.withColumnRenamed("id", "a_id").withColumnRenamed("grams", "ga"), "a_id")
         .join(gm.withColumnRenamed("id", "b_id").withColumnRenamed("grams", "gb"), "b_id")
@@ -708,11 +746,30 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Seed labels with min(id, min neighbor) — exactly round 1's
+    # neighbor-min step folded into the init aggregate (r6: one full
+    # round fewer for the same fixpoint; every id appears as src in the
+    # symmetric relation, so coverage is identical to the old
+    # distinct-ids init).
     lab = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("lbl", F.col("id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_m")).alias("lbl"),
+        )
         .localCheckpoint()
     )
+    # Convergence metric: labels only ever DECREASE, so the label sum is
+    # strictly monotone and `sum unchanged == no label changed` — one
+    # cheap aggregate over the freshly checkpointed relation instead of
+    # the old full self-join diff count (r6: one shuffle join fewer per
+    # round).  decimal(38,0) keeps the sum exact for 10^12 ids (ANSI
+    # mode would raise on a long overflow).
+    def _lbl_sum(df) -> object:
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _lbl_sum(lab)
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -738,16 +795,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = _lbl_sum(new)
         lab = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} rounds; "

@@ -45,6 +45,21 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, final)
 
 
+def _footer_stats_many(
+    paths: list[str], zkey_col: str, stat_cols=(), max_workers: int = 16
+) -> list[dict]:
+    """Footer stats for many files via a driver-side thread pool (r6):
+    the per-commit stats pass was a serial pyarrow loop — pure metadata
+    I/O that parallelizes cleanly (pyarrow footer reads release the GIL)
+    and showed up as ~0.3-0.6s per 32-file commit in snapshot_cycle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 1:
+        return [_footer_stats(p, zkey_col, stat_cols) for p in paths]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as pool:
+        return list(pool.map(lambda p: _footer_stats(p, zkey_col, stat_cols), paths))
+
+
 def _footer_stats(fpath: str, zkey_col: str, stat_cols=()) -> dict:
     """Per-file stats from the parquet FOOTER only (no data scan):
     zkey min/max per row group + whole-file min/max for `stat_cols` —
@@ -110,12 +125,11 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
-    files = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        fs = _footer_stats(os.path.join(path, name), zkey_col, stat_cols)
-        files.append({"file": name, **fs})
+    names = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+    stats = _footer_stats_many(
+        [os.path.join(path, n) for n in names], zkey_col, stat_cols
+    )
+    files = [{"file": n, **fs} for n, fs in zip(names, stats)]
     manifest = {
         "format_version": 1,
         "zkey_col": zkey_col,
@@ -159,8 +173,10 @@ def augment_manifest_stats(path: str, stat_cols=("x", "y")) -> dict:
         f for f in m["files"]
         if "bytes" not in f or any(c not in f.get("stats", {}) for c in stat_cols)
     ]
-    for f in missing:
-        fs = _footer_stats(os.path.join(path, f["file"]), m["zkey_col"], stat_cols)
+    mstats = _footer_stats_many(
+        [os.path.join(path, f["file"]) for f in missing], m["zkey_col"], stat_cols
+    )
+    for f, fs in zip(missing, mstats):
         f["bytes"] = fs["bytes"]
         f["stats"] = {**f.get("stats", {}), **fs["stats"]}
     if missing:

@@ -56,7 +56,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import MANIFEST_NAME, _footer_stats, _write_manifest, load_manifest
+from .manifest import (
+    MANIFEST_NAME,
+    _footer_stats,
+    _footer_stats_many,
+    _write_manifest,
+    load_manifest,
+)
 
 SNAP_DIR = "_snapshots"
 
@@ -233,11 +239,13 @@ class SnapshotStore:
             .write.mode("overwrite")
             .parquet(out_dir)
         )
-        new_files = []
-        for name in sorted(os.listdir(out_dir)):
-            if name.endswith(".parquet"):
-                fs = _footer_stats(os.path.join(out_dir, name), zkey_col, stat_cols)
-                new_files.append({"file": f"{data_rel}/{name}", **fs})
+        names = [n for n in sorted(os.listdir(out_dir)) if n.endswith(".parquet")]
+        stats = _footer_stats_many(
+            [os.path.join(out_dir, n) for n in names], zkey_col, stat_cols
+        )
+        new_files = [
+            {"file": f"{data_rel}/{n}", **fs} for n, fs in zip(names, stats)
+        ]
         if carry_files is not None:
             carried = list(carry_files)
         else:
