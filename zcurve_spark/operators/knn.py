@@ -237,7 +237,20 @@ def knn_batch(
             F.least(F.col("qx") + r, F.lit(domain - 1)).alias("x1"),
             F.least(F.col("qy") + r, F.lit(domain - 1)).alias("y1"),
         )
-        bivs, shift = bucketed_intervals_dist(boxes, bits=bits, budget=budget)
+        # Round 1 derives bucket_shift from the deterministic 64-box
+        # sample; later rounds reuse it shifted by 2 per 4x radius
+        # growth (interval spans scale with the box, so the median
+        # span's bit_length grows by exactly 2) — bucket_shift affects
+        # only bucketing granularity, never results, and skipping the
+        # re-sample saves one orderBy+collect job per round (r6).
+        if rounds == 1:
+            bivs, shift = bucketed_intervals_dist(boxes, bits=bits, budget=budget)
+            shift0 = shift
+        else:
+            shift = min(shift0 + 2 * (rounds - 1), 2 * bits - 1)
+            bivs, shift = bucketed_intervals_dist(
+                boxes, bits=bits, budget=budget, bucket_shift=shift
+            )
         small = n_pending <= broadcast_threshold
         if not small:
             # the interval relation feeds two consumers (prune + join)
