@@ -346,14 +346,17 @@ def minhash_lsh_pairs(
         # recompute.  More ids than the bound -> degrade to the plain
         # corpus-wide verify joins (the ADVICE r4 guard, now on the
         # exact id count instead of the bucket-size upper bound).
-        dup_buckets = (
-            bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("m"))
-            .filter(F.col("m") >= 2)
-            .select("band", "bh")
-        )
+        from pyspark.sql import Window as _W
+
+        # one window count over (band, bh) instead of a groupBy +
+        # semi-join back onto the same exchange (r6: measured ~1s faster
+        # at 64x — one shuffle of the band relation instead of one
+        # shuffle read twice plus a hash join)
         ids = (
-            bands.join(dup_buckets, ["band", "bh"], "leftsemi")
+            bands.withColumn(
+                "m", F.count(F.lit(1)).over(_W.partitionBy("band", "bh"))
+            )
+            .filter(F.col("m") >= 2)
             .select("id")
             .distinct()
         )

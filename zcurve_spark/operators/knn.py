@@ -363,9 +363,15 @@ def knn_geo_batch(
     R = float(sphere_radius_m)
     r_cap = math.pi * R  # whole sphere: every pair is within this
     if r0_m is None:
-        # expect ~4k candidates at the first radius under a uniform
-        # density guess: area fraction r^2/(4R^2) of n_points_hint
-        r0_m = 2.0 * R * math.sqrt(4.0 * k / max(n_points_hint, 1))
+        # expect ~16k candidates at the first radius under a uniform
+        # density guess: area fraction r^2/(4R^2) of n_points_hint.
+        # r6: was 4k — a mean of 4k candidates left a measurable tail of
+        # queries (sparse latitudes) uncovered in round 1, so most calls
+        # paid a second full join round; 16k matches knn_batch's planar
+        # heuristic and covers round 1 almost always.  The radius only
+        # affects how coverage is reached, never the result (the
+        # coverage test guarantees exact top-k at any radius).
+        r0_m = 2.0 * R * math.sqrt(16.0 * k / max(n_points_hint, 1))
     r = min(max(float(r0_m), 1.0), r_cap)
     ckpt = checkpointer or (lambda df: df.localCheckpoint())
 
