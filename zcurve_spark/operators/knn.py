@@ -34,6 +34,8 @@ Two shapes (round-3 rework per VERDICT r2 "What's missing" #2):
 from __future__ import annotations
 
 import math
+import os
+import sys
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -417,5 +419,10 @@ def knn_geo_batch(
             covered.select(F.col("qid").alias("pid")), "pid", "leftanti"
         ))
         n_pending = pending.count()
+        if os.environ.get("SPARK_GRAFT_DEBUG"):
+            print(
+                f"    [knn_geo] r={r:.0f} -> pending={n_pending}",
+                file=sys.stderr, flush=True,
+            )
         r = min(r * 4.0, r_cap)
     return reduce(DataFrame.unionByName, done_parts)
