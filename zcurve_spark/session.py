@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # GC: measured BOTH ways at local[32] (r6) — ParallelGC wins
+        # isolated subsets (tile_assign_gen 2.8->1.4s) but loses the
+        # full suite by ~7% (66.9-67.6s vs 62.7-62.8s suite-total over
+        # two runs each): the 48g heap with the 17 GB storage-tier scans
+        # and long-lived caches favors G1.  Default stays G1 (JVM
+        # default); the knob is for cluster profiles where executors are
+        # smaller and throughput-GC wins.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
