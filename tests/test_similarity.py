@@ -223,6 +223,42 @@ def test_ivf_lloyd_seeds_deterministic_and_balanced(emb):
     assert max_cell(s1) <= max_cell(ivf_seeds(emb, 8, lloyd_iters=0))
 
 
+def test_lloyd_fused_stats_match_explode_agg(emb):
+    """The fused mapInPandas Lloyd stats kernel (r6) must refine seeds
+    bit-identically to the explicit explode + hash-aggregate shape it
+    replaced: same quantization (floor(float64(x) * QUANT)), exact
+    integer sums/counts, same floor division."""
+    from pyspark.sql import functions as F
+
+    from zcurve_spark.operators.similarity import QUANT, ivf_cell_udf, ivf_seeds
+
+    n_cells = 8
+    raw = ivf_seeds(emb, n_cells, lloyd_iters=0)
+    # reference: one refinement round via the old explode+agg pipeline
+    stats = (
+        emb.select(
+            ivf_cell_udf("embedding", raw).alias("cell"),
+            F.posexplode(F.col("embedding")).alias("pos", "v"),
+        )
+        .select(
+            "cell",
+            "pos",
+            F.floor(F.col("v") * F.lit(float(QUANT))).cast("long").alias("q"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in stats:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"]) // int(r["n"])
+    ref = [
+        [by_cell[c][p] for p in range(len(raw[c]))] if c in by_cell else raw[c]
+        for c in range(n_cells)
+    ]
+    assert ivf_seeds(emb, n_cells, lloyd_iters=1) == ref
+
+
 def test_ivf_topk_batch_matches_per_query(spark, emb):
     """Set-oriented IVF must equal the per-query path exactly — same
     seeds, same probe order (stable argsort == driver loop tiebreak),

@@ -39,6 +39,26 @@ def dot_q(a, b):
     )
 
 
+def _exact_int_matmul(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """A @ B for int64 operands, routed through float64 BLAS when every
+    intermediate is exactly representable (r6, guide §4.2): numpy has no
+    BLAS backing for integer dtypes, so the int64 path is a slow generic
+    loop, while float64 GEMM is exact as long as each partial sum stays
+    below 2^53 — every product and running sum is then an integer float64
+    holds exactly, regardless of BLAS summation order.  Bound:
+    max|A| * max|B| * shared_dim < 2^53 (quantized embeddings are
+    ~QUANT-scale, far below it).  Falls back to the exact int64 loop
+    otherwise.  Bit-identical results either way (micro-checked and
+    pytest-covered via the unchanged operator outputs)."""
+    if A.size == 0 or B.size == 0:
+        return A @ B
+    ka = int(np.abs(A).max(initial=0))
+    kb = int(np.abs(B).max(initial=0))
+    if ka and kb and ka * kb * A.shape[-1] < (1 << 53):
+        return np.rint(A.astype(np.float64) @ B.astype(np.float64)).astype(np.int64)
+    return A @ B
+
+
 def ann_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -250,7 +270,7 @@ def ivf_cell_udf(vec_col, seeds_q: list[list[int]]):
             return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Q = np.floor(V * float(QUANT)).astype(np.int64)
-        D = Q @ S.T
+        D = _exact_int_matmul(Q, S.T)
         return pd.Series(np.argmax(D, axis=1).astype(np.int32))
 
     return _cell(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
@@ -285,23 +305,49 @@ def ivf_seeds(
     )
     seeds = [list(r["q"]) for r in rows]
     for _ in range(max(0, lloyd_iters)):
-        # posexplode the RAW vector and quantize the scalar element with
-        # a codegen floor (r6): posexplode(quantized(vec)) evaluated the
-        # interpreted transform() HOF per row; floor(double*100) on the
-        # exploded element is the same IEEE arithmetic (pytest-identical
-        # seeds) inside whole-stage codegen.
+        # Fused Arrow stats pass (r6, guide §4.2/§2.3): ONE mapInPandas
+        # kernel quantizes, routes to cells (same matmul+argmax as
+        # ivf_cell_udf) AND accumulates the per-(cell, dim) integer
+        # partial sums/counts across every batch of its task, emitting
+        # n_present_cells * dim rows per TASK.  This replaces a second
+        # Arrow pass + a dim-times row explode + hash aggregate over
+        # |rows| * dim exploded rows with numpy scatter-adds; the Spark
+        # aggregation then combines ~n_cells * dim rows per task.  The
+        # quantization is the identical IEEE arithmetic
+        # (floor(float64(x) * QUANT), matching `quantized`) and the
+        # sums/counts are exact int64, so the refined seeds are
+        # bit-identical to the explode+agg form (pytest
+        # test_lloyd_fused_stats_match_explode_agg) and remain
+        # partitioning-independent.
+        S = np.array(seeds, dtype=np.int64)
+        n_c, dim = S.shape
+
+        def _stats_iter(batches, _S=S, _n_c=n_c, _dim=dim):
+            sums = np.zeros((_n_c, _dim), dtype=np.int64)
+            cnts = np.zeros(_n_c, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                Q = np.floor(V * float(QUANT)).astype(np.int64)
+                cells = np.argmax(_exact_int_matmul(Q, _S.T), axis=1)
+                np.add.at(sums, cells, Q)
+                cnts += np.bincount(cells, minlength=_n_c)
+            present = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(present, _dim).astype(np.int32),
+                    "pos": np.tile(np.arange(_dim, dtype=np.int32), len(present)),
+                    "s": sums[present].reshape(-1),
+                    "n": np.repeat(cnts[present], _dim),
+                }
+            )
+
         stats = (
-            emb.select(
-                ivf_cell_udf(vec_col, seeds).alias("cell"),
-                F.posexplode(F.col(vec_col)).alias("pos", "v"),
-            )
-            .select(
-                "cell",
-                "pos",
-                F.floor(F.col("v") * F.lit(float(QUANT))).cast("long").alias("q"),
-            )
+            emb.select(F.col(vec_col).alias("_v"))
+            .mapInPandas(_stats_iter, "cell int, pos int, s long, n long")
             .groupBy("cell", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cell: dict[int, dict[int, int]] = {}
@@ -456,7 +502,7 @@ def ivf_probe_udf(vec_col, seeds_q: list[list[int]], nprobe: int):
             return pd.Series([], dtype="object")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Q = np.floor(V * float(QUANT)).astype(np.int64)
-        D = Q @ S.T
+        D = _exact_int_matmul(Q, S.T)
         order = np.argsort(-D, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
@@ -581,14 +627,32 @@ def ivf_topk_batch(
                 * float(QUANT)
             ).astype(np.int64)
             qids = qblk["qid"].to_numpy(np.int64)
-            D = Q @ C.T  # (chunk, n_cell) exact integer dots
+            D = _exact_int_matmul(Q, C.T)  # (chunk, n_cell) exact integer dots
             for i in range(D.shape[0]):
                 d = D[i]
                 mask = cids != qids[i]  # self-match excluded before top-k
+                d2 = d[mask]
+                c2 = cids[mask]
+                # Top-k via argpartition + small lexsort (r6, guide §4.2):
+                # the full per-query lexsort over the whole cell was the
+                # kernel's dominant term (measured ~11x slower than this
+                # form at 19k-row cells).  argpartition selects kk rows by
+                # dot alone; every row with dot >= the kk-th dot is kept
+                # (so boundary TIES are all present), then the exact
+                # comparator (dot desc, vec_id asc) orders that small
+                # candidate set.  Rows below the cut cannot reach the
+                # top-k under the comparator — kk rows with strictly
+                # larger dot already exist — so outputs are bit-identical
+                # to the full lexsort.
+                if len(d2) > kk:
+                    part = np.argpartition(-d2, kk - 1)[:kk]
+                    sel = d2 >= d2[part].min()
+                    d2 = d2[sel]
+                    c2 = c2[sel]
                 # comparator (dot desc, vec_id asc) == final window order
-                order = np.lexsort((cids[mask], -d[mask]))[:kk]
-                vs = cids[mask][order]
-                ds = d[mask][order]
+                order = np.lexsort((c2, -d2))[:kk]
+                vs = c2[order]
+                ds = d2[order]
                 out_q.extend([qids[i]] * len(vs))
                 out_v.extend(vs.tolist())
                 out_d.extend(ds.tolist())
