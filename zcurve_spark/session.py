@@ -19,6 +19,16 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # BLAS thread pinning: Spark TASKS are the parallelism unit, and an
+    # unpinned OpenBLAS starts a full per-process GEMM thread pool in
+    # every forked Python worker — at local[32] that oversubscribes the
+    # host 32x during the numpy matmul kernels (IVF routing/top-k).
+    # One BLAS thread per worker measured ivf_batch_10k 4.09 -> 3.61s
+    # and is the standard setting wherever tasks, not BLAS, own the
+    # cores (on a cluster: spark.executorEnv.OPENBLAS_NUM_THREADS=1).
+    # setdefault only — an explicit caller/cluster env wins.
+    for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(_var, "1")
     # Python workers deserialize pandas UDFs that reference this package;
     # make the repo root importable regardless of the caller's cwd (the
     # cluster equivalent is spark-submit --py-files, see submit_main.py).
