@@ -644,7 +644,7 @@ def ivf_topk_batch(
                 # top-k under the comparator — kk rows with strictly
                 # larger dot already exist — so outputs are bit-identical
                 # to the full lexsort.
-                if len(d2) > kk:
+                if kk > 0 and len(d2) > kk:
                     part = np.argpartition(-d2, kk - 1)[:kk]
                     sel = d2 >= d2[part].min()
                     d2 = d2[sel]
