@@ -63,7 +63,15 @@ def tile_pyramid(
     if not lvls:
         raise ValueError("levels must be non-empty")
     finest = lvls[0]
-    base = df.withColumn("tile_id", tile_id_col(zkey_col, finest, bits=bits))
+    # Narrower shuffle key (guide §2.3): a level-L tile id is 2L bits,
+    # so for L <= 15 the finest-level exchange — the one full-table
+    # shuffle of this plan — can carry an int instead of a long (the
+    # per-row shuffle tuple drops 16 -> 12 bytes before compression).
+    # The id is cast back to long in every emitted branch, so the
+    # OUTPUT schema (and the driver's type-sensitive hash) is unchanged.
+    narrow = 2 * finest <= 31
+    tid = tile_id_col(zkey_col, finest, bits=bits)
+    base = df.withColumn("tile_id", tid.cast("int") if narrow else tid)
     aggs = [F.count(F.lit(1)).alias("n")]
     roll = [F.sum("n").alias("n")]
     if value_col is not None:
@@ -77,8 +85,14 @@ def tile_pyramid(
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         ]
+    def emit(c: DataFrame, lv: int) -> DataFrame:
+        rest = [F.col(x) for x in c.columns if x != "tile_id"]
+        return c.select(
+            F.lit(lv).alias("level"), F.col("tile_id").cast("long").alias("tile_id"), *rest
+        )
+
     cur = base.groupBy("tile_id").agg(*aggs)
-    out = cur.select(F.lit(finest).alias("level"), "*")
+    out = emit(cur, finest)
     prev_level = finest
     for lv in lvls[1:]:
         shift = 2 * (prev_level - lv)
@@ -87,7 +101,7 @@ def tile_pyramid(
             .groupBy("tile_id")
             .agg(*roll)
         )
-        out = out.unionByName(cur.select(F.lit(lv).alias("level"), "*"))
+        out = out.unionByName(emit(cur, lv))
         prev_level = lv
     return out
 
