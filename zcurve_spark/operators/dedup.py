@@ -577,12 +577,19 @@ def banded_hamming_pairs(
     cand = (
         a.join(b.hint("shuffle_hash"), ["band", "bb"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
     )
+    # hamming filter BEFORE the pair dedup (r6, guide §2.3/§2.4): every
+    # duplicate row of a pair carries the same (sha, shb), so bit_count
+    # commutes with dropDuplicates — but the filter is codegen on the
+    # un-shuffled join output while the dedup is an exchange keyed on
+    # (a_id, b_id).  Filtering first shrinks that exchange from ALL
+    # candidate pairs (quadratic in bucket occupancy — 2.4e8 rows at the
+    # measured radius-12/22k-image shape) to true pairs only.
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 
@@ -679,12 +686,15 @@ def hamming_pairs_multiblock(
     cand = (
         a.join(b.hint("shuffle_hash"), ["tbl", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
     )
+    # filter-then-dedup, same rationale as banded_hamming_pairs: the
+    # pair-dedup exchange carries verified pairs only, never the raw
+    # candidate multiset (up to C(b, r) copies of each pair).
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 
@@ -744,12 +754,19 @@ def connected_components(
     cluster substitute reliable ``df.checkpoint()`` (after
     ``sc.setCheckpointDir`` on shared storage) or materialize rounds
     through StageRunner; the algorithm is unchanged."""
+    # No .distinct() on the symmetric relation (r6, guide §2.4): every
+    # consumer is a min() aggregate or feeds one, so duplicate edges
+    # cannot change any label — the distinct was a full exchange of the
+    # edge relation bought for nothing when callers pass unique pairs
+    # (all in-repo callers do: LSH/simhash pairs are dropDuplicates'd,
+    # grid-cluster cell adjacency is one offset per pair).  A caller
+    # with heavily duplicated edges should pre-dedup for join size,
+    # not correctness.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .distinct()
         .localCheckpoint()
     )
     # Seed labels with min(id, min neighbor) — exactly round 1's
@@ -777,6 +794,7 @@ def connected_components(
 
     prev_sum = _lbl_sum(lab)
     converged = False
+    first = True
     for _ in range(max_iter):
         nbr = (
             sym.join(lab, sym.dst == lab.id)
@@ -790,6 +808,28 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
         )
+        if first:
+            # Round-1 fast path (r6, guide §2.4): a labeling that one
+            # neighbor-min pass leaves unchanged is already CONSTANT per
+            # component — for every symmetric edge (x, y), stability
+            # gives lbl(y) >= lbl(x) from x's side and lbl(x) >= lbl(y)
+            # from y's side, so labels agree across every edge; and
+            # since every label is the id of a node in the same
+            # component, lbl(lbl(x)) = lbl(x) — the doubling join is
+            # provably a no-op.  The min-seeded init already converges
+            # pair/star components (the common dedup-graph shape), so
+            # most calls finish here with ONE join pass instead of two.
+            # Only round 1 pays the extra sum check: a later round only
+            # runs at all because labels are still moving.
+            first = False
+            stepped = stepped.localCheckpoint()
+            s = _lbl_sum(stepped)
+            lab = stepped
+            if s == prev_sum:
+                converged = True
+                break
+            prev_sum = s
+            # fall through: finish round 1 with the doubling step below
         # pointer doubling: lbl <- lbl(lbl).  The parent relation is lab
         # itself (id -> lbl); a left join covers labels that are roots.
         parent = lab.select(F.col("id").alias("_pid"), F.col("lbl").alias("_plbl"))
