@@ -762,11 +762,26 @@ def connected_components(
     # grid-cluster cell adjacency is one offset per pair).  A caller
     # with heavily duplicated edges should pre-dedup for join size,
     # not correctness.
+    # Symmetrize by EXPLODING a 2-struct array instead of a union of two
+    # projections (r6): union branches share no subtree in Spark's plan,
+    # so the old shape evaluated the whole edge-producing plan TWICE in
+    # this checkpoint job — for the dedup pipeline that is the LSH
+    # verify join running twice above its (reused) exchanges.  The
+    # explode is one cheap Generate over a single evaluation.
     sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.src", "_e.dst")
         .localCheckpoint()
     )
     # Seed labels with min(id, min neighbor) — exactly round 1's
