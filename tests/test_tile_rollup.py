@@ -85,18 +85,25 @@ class TestTilePyramid:
             tile_counts(pts, 4, bits=BITS)
         )
 
-    def test_finest_exchange_reused_not_recomputed(self, spark, tmp_path):
-        # the union's level branches all contain the finest aggregation
-        # sub-plan; after execution the adaptive plan must show the
-        # shared exchanges collapsed via ReusedExchange — i.e. one raw
-        # shuffle, not one per level (parquet-backed so the scan is a
-        # real exchange producer, not a LocalTableScan)
+    def test_single_scan_single_finest_aggregation(self, spark, tmp_path):
+        # r6 plan shape: the explode rollup evaluates every aggregate
+        # exactly once — ONE scan of the raw table, ONE Generate, and
+        # exactly two shuffle exchanges (raw -> finest agg, exploded
+        # (level, tile) -> rollup agg).  The previous union-of-branches
+        # form shared only the raw exchange (ReuseExchange) while the
+        # finest reduce-side aggregation re-ran once per level.
         p = str(tmp_path / "pts")
         _pts(spark, 0, 20000).write.parquet(p)
         pyr = tile_pyramid(spark.read.parquet(p), levels=(2, 4, 6), bits=BITS)
         pyr.collect()
         plan = pyr._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ReusedExchange") >= 2, plan
+        # the adaptive plan string appends the pre-AQE "Initial Plan";
+        # assert on the executed Final Plan section only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Generate explode") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "Union" not in plan, plan
 
     def test_empty_levels_raises(self, spark):
         with pytest.raises(ValueError):

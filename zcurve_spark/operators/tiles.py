@@ -44,18 +44,26 @@ def tile_pyramid(
     """Multi-resolution tile statistics with ONE pass over the raw rows.
 
     The finest level aggregates the raw relation (the only full-table
-    shuffle); every coarser level rolls up from the next-finer level's
-    rows by prefix arithmetic (``parent = child >> 2*dL`` — a level-L
-    tile id is the top 2L bits of the key, so the level-(L-dL) id is a
-    further right shift of the SAME prefix).  At most ``4^L_finer`` rows
-    enter each rollup regardless of table size: with 10^12 input rows
-    and levels (4, 8, 12) the naive per-level plan shuffles the raw
-    table three times, while this plan shuffles it once plus two
-    rollups over <=16.7M pre-aggregated rows.  count/sum/min/max are
-    decomposable, so the rolled-up values are exactly the direct
-    aggregates (the hypertable/continuous-aggregate identity), and the
-    finest level's exchange is shared across the union branches via
-    ReuseExchange (pytest-asserted) — not recomputed per level.
+    shuffle); every coarser level rolls up from the finest level's rows
+    by prefix arithmetic (``parent = child >> 2*dL`` — a level-L tile id
+    is the top 2L bits of the key, so a coarser id is a further right
+    shift of the SAME prefix).  At most ``4^L_finest`` rows enter the
+    rollup regardless of table size: with 10^12 input rows and levels
+    (4, 8, 12) the naive per-level plan shuffles the raw table three
+    times, while this plan shuffles it once plus one rollup over
+    ``len(levels) * 4^L_finest`` pre-aggregated rows.  count/sum/min/max
+    are decomposable, so the rolled-up values are exactly the direct
+    aggregates (the hypertable/continuous-aggregate identity).
+
+    Plan shape (r6, guide §2.4): ONE groupBy at the finest level, then
+    one Generate exploding each finest row to its (level, parent_tile)
+    pairs, then one (level, tile_id) aggregate — every aggregate is
+    evaluated exactly once.  The previous union-of-branches form shared
+    only the raw EXCHANGE via ReuseExchange; the finest reduce-side
+    aggregation itself sat above the exchange in every branch and ran
+    once per level (3x at levels (4, 8, 12) — measured 15-20% of the
+    row at 64M rows).  The union is gone, so nothing needs reuse
+    (pytest asserts the two-exchange / single-scan shape).
 
     Output: (level, tile_id, n[, sum_v, min_v, max_v]).
     """
@@ -64,16 +72,18 @@ def tile_pyramid(
         raise ValueError("levels must be non-empty")
     finest = lvls[0]
     # Narrower shuffle key (guide §2.3): a level-L tile id is 2L bits,
-    # so for L <= 15 the finest-level exchange — the one full-table
-    # shuffle of this plan — can carry an int instead of a long (the
-    # per-row shuffle tuple drops 16 -> 12 bytes before compression).
-    # The id is cast back to long in every emitted branch, so the
-    # OUTPUT schema (and the driver's type-sensitive hash) is unchanged.
+    # so for L <= 15 BOTH exchanges of this plan — the full-table
+    # finest shuffle and the exploded rollup — can carry an int instead
+    # of a long (the per-row shuffle tuple drops 16 -> 12 bytes before
+    # compression).  The id is cast back to long only in the final
+    # projection, so the OUTPUT schema (and the driver's type-sensitive
+    # hash) is unchanged.
     narrow = 2 * finest <= 31
     tid = tile_id_col(zkey_col, finest, bits=bits)
     base = df.withColumn("tile_id", tid.cast("int") if narrow else tid)
     aggs = [F.count(F.lit(1)).alias("n")]
     roll = [F.sum("n").alias("n")]
+    metrics = ["n"]
     if value_col is not None:
         aggs += [
             F.sum(value_col).alias("sum_v"),
@@ -85,25 +95,36 @@ def tile_pyramid(
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         ]
-    def emit(c: DataFrame, lv: int) -> DataFrame:
-        rest = [F.col(x) for x in c.columns if x != "tile_id"]
-        return c.select(
-            F.lit(lv).alias("level"), F.col("tile_id").cast("long").alias("tile_id"), *rest
-        )
+        metrics += ["sum_v", "min_v", "max_v"]
 
     cur = base.groupBy("tile_id").agg(*aggs)
-    out = emit(cur, finest)
-    prev_level = finest
-    for lv in lvls[1:]:
-        shift = 2 * (prev_level - lv)
-        cur = (
-            cur.withColumn("tile_id", F.shiftright("tile_id", shift))
-            .groupBy("tile_id")
-            .agg(*roll)
+    if len(lvls) == 1:
+        # single level: no rollup needed — emit directly, one aggregate
+        return cur.select(
+            F.lit(finest).alias("level"),
+            F.col("tile_id").cast("long").alias("tile_id"),
+            *metrics,
         )
-        out = out.unionByName(emit(cur, lv))
-        prev_level = lv
-    return out
+    pairs = [
+        F.struct(
+            F.lit(lv).alias("level"),
+            (
+                F.shiftright(F.col("tile_id"), 2 * (finest - lv))
+                if lv != finest
+                else F.col("tile_id")
+            ).alias("tile_id"),
+        )
+        for lv in lvls
+    ]
+    ex = cur.select(F.explode(F.array(*pairs)).alias("_lt"), *metrics)
+    out = (
+        ex.select("_lt.level", "_lt.tile_id", *metrics)
+        .groupBy("level", "tile_id")
+        .agg(*roll)
+    )
+    return out.select(
+        "level", F.col("tile_id").cast("long").alias("tile_id"), *metrics
+    )
 
 
 def raster_assign(
