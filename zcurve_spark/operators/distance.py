@@ -199,30 +199,63 @@ def distance_join_geo(
     def lon_pos(lon, nlon):
         return F.floor((lon + F.lit(180.0)) * nlon.cast("double") / F.lit(360.0)).cast("long")
 
+    # STAGED projections for the band/tile keys (r6, guide §4/§7.2 "read
+    # the plan"): inlining `_geo_n_lon` (a ~20-node asin/cos tree that
+    # itself nests the band expression) at every use put ~12 copies of
+    # the tree into the B-side Generate projection and 2 more into the
+    # A-side keys — the whole-stage-codegen method for the probe stage
+    # grew huge, burning 3-4x the CPU (and intermittently missing the
+    # C2 JIT entirely: the measured bimodal 4.5s-vs-17s knn_geo_2k mode
+    # previously blamed on host steal).  Materializing each band's nlon
+    # as a NAMED COLUMN evaluates the tree once per row per band:
+    # Catalyst's CollapseProject keeps multi-referenced non-cheap
+    # aliases as separate projections, so the codegen method stays
+    # small.  Same arithmetic, same keys, bit-identical output.
     ba = band(F.col(lat_col))
-    nlon_a = _geo_n_lon(ba, dlat_deg, half_sin)
-    ta = a.select(
-        F.col(id_col).alias("a_id"),
-        F.col(lon_col).alias("a_lon"),
-        F.col(lat_col).alias("a_lat"),
-        ba.alias("_gb"),
-        F.pmod(lon_pos(F.col(lon_col), nlon_a), nlon_a).alias("_gt"),
+    ta = (
+        a.select(
+            F.col(id_col).alias("a_id"),
+            F.col(lon_col).alias("a_lon"),
+            F.col(lat_col).alias("a_lat"),
+            ba.alias("_gb"),
+        )
+        .withColumn("_nl", _geo_n_lon(F.col("_gb"), dlat_deg, half_sin))
+        .select(
+            "a_id",
+            "a_lon",
+            "a_lat",
+            "_gb",
+            F.pmod(lon_pos(F.col("a_lon"), F.col("_nl")), F.col("_nl")).alias("_gt"),
+        )
     )
 
-    bb = band(F.col(lat_col))
+    tbase = b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(lon_col).alias("b_lon"),
+        F.col(lat_col).alias("b_lat"),
+        band(F.col(lat_col)).alias("_b"),
+    )
+    for off in (-1, 0, 1):
+        tbase = tbase.withColumn(
+            f"_nl{off}",
+            _geo_n_lon(F.col("_b") + F.lit(off).cast("long"), dlat_deg, half_sin),
+        ).withColumn(
+            f"_ct{off}", lon_pos(F.col("b_lon"), F.col(f"_nl{off}"))
+        )
     entries = []
     for off in (-1, 0, 1):
-        nb = bb + F.lit(off).cast("long")
+        nb = F.col("_b") + F.lit(off).cast("long")
         valid = (nb >= 0) & (nb < n_bands)
-        nlon_nb = _geo_n_lon(nb, dlat_deg, half_sin)
-        ct = lon_pos(F.col(lon_col), nlon_nb)
         for dlt in (-1, 0, 1):
             entries.append(
                 F.when(
                     valid,
                     F.struct(
                         nb.alias("gb"),
-                        F.pmod(ct + F.lit(dlt).cast("long"), nlon_nb).alias("gt"),
+                        F.pmod(
+                            F.col(f"_ct{off}") + F.lit(dlt).cast("long"),
+                            F.col(f"_nl{off}"),
+                        ).alias("gt"),
                     ),
                 )
             )
@@ -230,10 +263,10 @@ def distance_join_geo(
         F.filter(F.array(*entries), lambda e: e.isNotNull())
     )
     tb = (
-        b.select(
-            F.col(id_col).alias("b_id"),
-            F.col(lon_col).alias("b_lon"),
-            F.col(lat_col).alias("b_lat"),
+        tbase.select(
+            "b_id",
+            "b_lon",
+            "b_lat",
             F.explode(tiles_arr).alias("_g"),
         )
         .select("b_id", "b_lon", "b_lat", F.col("_g.gb").alias("_gb"), F.col("_g.gt").alias("_gt"))
