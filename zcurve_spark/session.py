@@ -79,5 +79,7 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", os.environ.get("SPARK_GRAFT_EVENTLOG", "false"))
+        .config("spark.eventLog.dir", "/tmp/spark-events")
         .getOrCreate()
     )
