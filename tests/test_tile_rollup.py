@@ -160,6 +160,19 @@ class TestTileCountsIncremental:
         assert _rows(got) == _rows(tile_counts(_pts(spark, 0, 1500), 6, bits=BITS))
         assert self._state(sd)["level"] == 6
 
+    def test_bits_change_rebuilds_state(self, spark, tmp_path):
+        # ADVICE r5: bits changes the tile ids just like level; a state
+        # cached under other bits must be rebuilt, not trusted
+        st = SnapshotStore(spark, str(tmp_path / "tbl"))
+        sd = str(tmp_path / "state")
+        st.commit(_pts(spark, 0, 1500), created_unix=10, n_partitions=2)
+        tile_counts_incremental(spark, st, sd, level=4, bits=BITS)
+        got = tile_counts_incremental(spark, st, sd, level=4, bits=BITS - 2)
+        assert _rows(got) == _rows(
+            tile_counts(_pts(spark, 0, 1500), 4, bits=BITS - 2)
+        )
+        assert self._state(sd)["bits"] == BITS - 2
+
     def test_old_state_dir_cleaned_after_swing(self, spark, tmp_path):
         st = SnapshotStore(spark, str(tmp_path / "tbl"))
         sd = str(tmp_path / "state")

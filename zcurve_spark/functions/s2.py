@@ -84,6 +84,16 @@ def _face_uv_from_xyz(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     Face axes follow s2coords.h: face k has normal = axis k's positive
     direction for k<3, negative for k>=3; (u,v) axes per the canonical
     kFaceUVWAxes table.
+
+    Tie-break note (ADVICE r5): this selection uses ``ax >= ay`` /
+    ``ax >= az`` (preferring the EARLIER axis on exact ties), while
+    s2geometry's LargestAbsComponent uses strict ``>`` (preferring the
+    later axis), so points lying exactly on a cube-face boundary —
+    a measure-zero set requiring |x| == |y| etc. in IEEE doubles — may
+    map to the adjacent face relative to other S2 implementations.
+    All cell ids remain internally self-consistent (encode and cover
+    use the same rule), so queries are unaffected; only cross-library
+    id interchange of exact-boundary points differs.
     """
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))

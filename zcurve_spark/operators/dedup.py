@@ -652,7 +652,10 @@ def hamming_pairs_multiblock(
                 "use banded_hamming_pairs for large radii"
             )
     if bits % n_blocks or r >= n_blocks:
-        raise ValueError(f"need n_blocks | bits and max_hamming < n_blocks")
+        raise ValueError(
+            "need n_blocks | bits and max_hamming < n_blocks, got "
+            f"n_blocks={n_blocks}, bits={bits}, max_hamming={r}"
+        )
     bw = bits // n_blocks
     from itertools import combinations
 

@@ -337,7 +337,15 @@ def knn_geo_batch(
 
     Each round calls :func:`..operators.distance.distance_join_geo`
     (lat-banded tiles, latitude-aware lon width, antimeridian wrap) at
-    radius r as the candidate generator.  That join returns EXACTLY the
+    radius r as the candidate generator.  Blow-up note (ADVICE r5): the
+    final r_cap round keys the whole sphere into ONE (band, tile)
+    bucket, so its candidate join is a full |pending| x |points|
+    product — correct but quadratic.  It exists only as the
+    unconditional-termination backstop; a batch where many queries
+    legitimately reach the cap (k near the corpus size, or a corpus
+    far sparser than ``n_points_hint``) degrades accordingly — pass a
+    truthful ``n_points_hint`` (it sizes the first radius) and a
+    smaller k, or pre-shard such batches.  That join returns EXACTLY the
     pairs within haversine distance r, so a query with >= k candidates
     has its true top-k inside the candidate set (the k-th nearest is
     <= r, and every point <= r is a candidate) — the coverage test is a

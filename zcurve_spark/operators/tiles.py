@@ -223,8 +223,12 @@ def tile_counts_incremental(
     if os.path.exists(state_json):
         with open(state_json) as fh:
             st = json.load(fh)
-        if st.get("level") != level:
-            st = None  # state for a different pyramid level: rebuild
+        if st.get("level") != level or st.get("bits") != bits:
+            # state for a different tiling (ADVICE r5: bits is written
+            # into state.json and changes the tile ids just like level
+            # — trusting a stale-bits cache would silently return
+            # counts computed under the old tiling): rebuild
+            st = None
     if st is not None and st["snapshot_id"] == sid:
         return spark.read.parquet(os.path.join(state_dir, st["data"]))
 
